@@ -1,0 +1,136 @@
+"""Projection source: streams HIS frames from a scan directory.
+
+Replaces the reference ``source`` class (src/source.cpp:75-135) with an
+iterator design:
+
+  * the directory is scanned once, sorted (reference filesystem.cpp:65);
+  * multi-frame files are flattened into a single global frame stream;
+  * ``quality`` decimation keeps every q-th frame (source.cpp:105);
+  * each kept frame carries its GLOBAL index and angle — computed from
+    the per-source position, not a thread-local counter (fixing the
+    reference's index-leak bug, SURVEY.md §5 bug 3);
+  * unreadable / non-HIS files are skipped with a warning (source.cpp:97-100);
+  * a background prefetch thread (``prefetch`` > 0) overlaps disk reads
+    with device compute — the TPU analog of the reference's pipelined
+    h2d loader stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .his import read_his, HisFormatError
+from .angles import read_angles
+
+logger = logging.getLogger("paris_tpu.io")
+
+__all__ = ["Projection", "ProjectionSource", "scan_directory"]
+
+
+@dataclasses.dataclass
+class Projection:
+    data: np.ndarray      # (n_col, n_row) float32
+    idx: int              # global projection index (pre-decimation numbering)
+    phi: float            # angle in degrees
+
+
+def scan_directory(path: str, extensions: Sequence[str] = (".his",)) -> List[str]:
+    """Sorted list of projection files in a directory."""
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"projection directory not found: {path}")
+    names = sorted(
+        n for n in os.listdir(path)
+        if os.path.isfile(os.path.join(path, n))
+        and (not extensions or os.path.splitext(n)[1].lower() in extensions)
+    )
+    return [os.path.join(path, n) for n in names]
+
+
+class ProjectionSource:
+    """Iterator over decimated, angle-tagged projections."""
+
+    def __init__(
+        self,
+        proj_dir: str,
+        *,
+        angle_file: Optional[str] = None,
+        delta_phi: float = 0.0,
+        quality: int = 1,
+        prefetch: int = 4,
+        extensions: Sequence[str] = (".his",),
+    ):
+        if quality < 1:
+            raise ValueError("quality must be >= 1")
+        self.paths = scan_directory(proj_dir, extensions)
+        self.quality = quality
+        self.delta_phi = float(delta_phi)
+        self.angles = read_angles(angle_file) if angle_file else None
+        self.prefetch = prefetch
+
+    def _angle(self, idx: int) -> float:
+        if self.angles is not None and idx < len(self.angles):
+            return float(self.angles[idx])
+        return idx * self.delta_phi
+
+    def _iter_frames(self) -> Iterator[Projection]:
+        idx = 0
+        for path in self.paths:
+            try:
+                frames = read_his(path)
+            except (HisFormatError, OSError) as e:
+                logger.warning("skipping invalid file %s: %s", path, e)
+                continue
+            for frame in frames:
+                if idx % self.quality == 0:
+                    yield Projection(
+                        data=np.ascontiguousarray(frame, dtype=np.float32),
+                        idx=idx,
+                        phi=self._angle(idx),
+                    )
+                idx += 1
+
+    def __iter__(self) -> Iterator[Projection]:
+        if self.prefetch <= 0:
+            yield from self._iter_frames()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for p in self._iter_frames():
+                    q.put(p)
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=worker, daemon=True, name="his-prefetch")
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
+
+    def iter_chunks(self, chunk_size: int) -> Iterator[List[Projection]]:
+        """Yield lists of up to ``chunk_size`` projections."""
+        buf: List[Projection] = []
+        for p in self:
+            buf.append(p)
+            if len(buf) == chunk_size:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
