@@ -1,0 +1,74 @@
+"""Distributed (shard_map) reconstruction vs single-device, on a virtual
+8-device CPU mesh (SURVEY.md §4(d))."""
+
+import numpy as np
+import jax
+import pytest
+
+from paris_tpu.geometry import DetectorGeometry, derive_volume_geometry
+from paris_tpu.parallel import DistributedReconstructor, make_z_mesh
+from paris_tpu.pipeline import reconstruct
+
+
+@pytest.fixture(scope="module")
+def setup():
+    det = DetectorGeometry(
+        n_row=64, n_col=64, l_px_row=2.0, l_px_col=2.0,
+        delta_s=0.0, delta_t=0.0, d_so=400.0, d_od=400.0, delta_phi=9.0,
+    )
+    vol = derive_volume_geometry(det)
+    rng = np.random.default_rng(0)
+    n_proj = 24
+    projs = rng.standard_normal((n_proj, det.n_col, det.n_row)).astype(np.float32)
+    angles = np.arange(n_proj, dtype=np.float32) * det.delta_phi
+    return det, vol, projs, angles
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_distributed_matches_single_device(setup):
+    det, vol, projs, angles = setup
+    mesh = make_z_mesh()
+    n = mesh.devices.size
+    block_dz = -(-vol.dim_z // n) * n
+
+    dist = DistributedReconstructor(
+        det, vol, mesh=mesh, chunk_size=8, block_dz=block_dz, backend="xla",
+    )
+    out_dist = dist.reconstruct(projs, angles)
+
+    out_single = reconstruct(
+        det, vol, projs, angles, chunk_size=8, backend="xla",
+        block_shape=(block_dz, vol.dim_y, vol.dim_x),
+    )[: vol.dim_z]
+
+    np.testing.assert_allclose(out_dist, out_single, rtol=1e-5, atol=1e-5)
+
+
+def test_distributed_rejects_bad_chunk(setup):
+    det, vol, _, _ = setup
+    with pytest.raises(ValueError):
+        DistributedReconstructor(det, vol, chunk_size=3, block_dz=64, backend="xla")
+
+
+def test_distributed_z_offset(setup):
+    """Distributed block at z_offset must equal the matching slab of a
+    single-device full reconstruction."""
+    det, vol, projs, angles = setup
+    mesh = make_z_mesh()
+    n = mesh.devices.size
+
+    full = reconstruct(det, vol, projs, angles, chunk_size=8, backend="xla")
+
+    block_dz = 16
+    assert block_dz % n == 0
+    dist = DistributedReconstructor(
+        det, vol, mesh=mesh, chunk_size=8, block_dz=block_dz, backend="xla",
+    )
+    z0 = 8
+    out = np.asarray(
+        dist.accumulate(dist.init_block(), projs, angles, z_offset=z0)
+    )
+    np.testing.assert_allclose(out, full[z0:z0 + block_dz], rtol=1e-5, atol=1e-5)

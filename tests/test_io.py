@@ -1,0 +1,204 @@
+"""HIS / ddbvf / geometry-file / angle-file round-trips (SURVEY.md §4(c))."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from paris_tpu.io.his import read_his, write_his, HisFormatError, HIS_FILE_ID
+from paris_tpu.io import ddbvf
+from paris_tpu.io.geometry_file import (
+    dump_geometry_file, load_geometry_file, parse_geometry_text,
+    geometry_format_help,
+)
+from paris_tpu.io.angles import read_angles, angles_for
+from paris_tpu.io.source import ProjectionSource
+from paris_tpu.geometry import DetectorGeometry
+
+
+# ---------------------------------------------------------------- HIS
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.uint32,
+                                   np.float32, np.float64])
+def test_his_roundtrip_dtypes(tmp_path, dtype):
+    rng = np.random.default_rng(1)
+    raw = rng.uniform(0, 200, size=(3, 12, 17))
+    frames = raw.astype(dtype)
+    p = str(tmp_path / "t.his")
+    write_his(p, frames, number_dtype=dtype)
+    back = read_his(p)
+    assert back.shape == (3, 12, 17)
+    assert back.dtype == np.float32
+    np.testing.assert_array_equal(back, frames.astype(np.float32))
+
+
+def test_his_header_layout(tmp_path):
+    """Byte-level layout must match the reference reader (his.cpp:46-67)."""
+    p = str(tmp_path / "t.his")
+    write_his(p, np.zeros((2, 4, 6), np.uint16), number_dtype=np.uint16)
+    with open(p, "rb") as f:
+        buf = f.read()
+    assert struct.unpack_from("<H", buf, 0)[0] == HIS_FILE_ID        # magic
+    assert struct.unpack_from("<H", buf, 2)[0] == 68                 # header size
+    ulx, uly, brx, bry = struct.unpack_from("<HHHH", buf, 12)
+    assert (brx - ulx + 1, bry - uly + 1) == (6, 4)                  # bbox dims
+    assert struct.unpack_from("<H", buf, 20)[0] == 2                 # frames
+    assert struct.unpack_from("<H", buf, 32)[0] == 4                 # u16 type
+    # total size: 68 + 2*(32 + 4*6*2)
+    assert len(buf) == 68 + 2 * (32 + 48)
+
+
+def test_his_rejects_garbage(tmp_path):
+    p = str(tmp_path / "bad.his")
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 200)
+    with pytest.raises(HisFormatError):
+        read_his(p)
+
+
+# ---------------------------------------------------------------- ddbvf
+
+def test_ddbvf_roundtrip(tmp_path):
+    p = str(tmp_path / "v.ddbvf")
+    ddbvf.create(p, 6, 5, 9)
+    assert ddbvf.open_meta(p) == (6, 5, 9)
+    rng = np.random.default_rng(2)
+    vol = rng.standard_normal((9, 5, 6)).astype(np.float32)
+    ddbvf.write_slices(p, vol[:4], 0)
+    ddbvf.write_slices(p, vol[4:], 4)
+    np.testing.assert_array_equal(ddbvf.read_volume(p), vol)
+    np.testing.assert_array_equal(ddbvf.read_slices(p, 3, 2), vol[3:5])
+
+
+def test_ddbvf_header_layout(tmp_path):
+    """Layout per reference ddbvf.cpp:45-58: magic, version, dims; data@32."""
+    p = str(tmp_path / "v.ddbvf")
+    ddbvf.create(p, 2, 3, 4)
+    with open(p, "rb") as f:
+        buf = f.read(32)
+    assert struct.unpack_from("<I", buf, 0)[0] == 0xEFDDDAFA
+    assert struct.unpack_from("<H", buf, 4)[0] == 0x0010
+    assert struct.unpack_from("<III", buf, 6) == (2, 3, 4)
+    assert os.path.getsize(p) == 32 + 4 * 2 * 3 * 4
+
+
+def test_ddbvf_bounds_checks(tmp_path):
+    p = str(tmp_path / "v.ddbvf")
+    ddbvf.create(p, 4, 4, 4)
+    with pytest.raises(ddbvf.DdbvfFormatError):
+        ddbvf.write_slices(p, np.zeros((2, 4, 5), np.float32), 0)   # wrong x
+    with pytest.raises(ddbvf.DdbvfFormatError):
+        ddbvf.write_slices(p, np.zeros((3, 4, 4), np.float32), 2)   # overrun
+    with pytest.raises(ddbvf.DdbvfFormatError):
+        ddbvf.open_meta(__file__)                                    # not ddbvf
+
+
+# ---------------------------------------------------------------- geometry file
+
+def test_geometry_file_roundtrip(tmp_path):
+    det = DetectorGeometry(100, 80, 0.5, 0.4, 1.5, -0.5, 300.0, 700.0, 0.25)
+    p = str(tmp_path / "a.geo")
+    dump_geometry_file(det, p)
+    assert load_geometry_file(p) == det
+
+
+def test_geometry_file_missing_key():
+    with pytest.raises(ValueError, match="missing"):
+        parse_geometry_text("n_row = 10\nn_col = 10\n")
+
+
+def test_geometry_file_unknown_key():
+    with pytest.raises(ValueError, match="unknown"):
+        parse_geometry_text("det_pixels_row = 1016\n")  # obsolete schaum.geo key
+
+
+def test_geometry_file_comments_and_help():
+    text = "\n".join(
+        f"{k} = 1" for k in
+        "n_row n_col l_px_row l_px_col delta_s delta_t d_so d_od delta_phi".split()
+    ) + "\n# comment\n; other comment\n"
+    det = parse_geometry_text(text)
+    assert det.n_row == 1
+    assert "n_row" in geometry_format_help()
+
+
+# ---------------------------------------------------------------- angles
+
+def test_angles_plain(tmp_path):
+    p = str(tmp_path / "a.txt")
+    with open(p, "w") as f:
+        f.write("0.0 1.5\n3.0\n4.5")
+    np.testing.assert_allclose(read_angles(p), [0.0, 1.5, 3.0, 4.5])
+
+
+def test_angles_german_decimal(tmp_path):
+    """Comma-decimal files (reference source.cpp:54-62 de_DE handling)."""
+    p = str(tmp_path / "a.txt")
+    with open(p, "w") as f:
+        f.write("0,0 1,5 3,0")
+    np.testing.assert_allclose(read_angles(p), [0.0, 1.5, 3.0])
+
+
+def test_angles_for_fallback():
+    np.testing.assert_allclose(angles_for([0, 2, 4], 0.5), [0.0, 1.0, 2.0])
+    np.testing.assert_allclose(
+        angles_for([1, 2], 0.5, angle_table=[9.0, 8.0, 7.0]), [8.0, 7.0]
+    )
+
+
+# ---------------------------------------------------------------- source
+
+def _write_scan(tmp_path, n_files=3, frames_per_file=4):
+    d = tmp_path / "proj"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    all_frames = []
+    for i in range(n_files):
+        fr = rng.uniform(0, 100, (frames_per_file, 6, 8)).astype(np.float32)
+        write_his(str(d / f"f{i:03d}.his"), fr)
+        all_frames.append(fr)
+    return str(d), np.concatenate(all_frames)
+
+
+def test_source_streams_in_order(tmp_path):
+    d, frames = _write_scan(tmp_path)
+    src = ProjectionSource(d, delta_phi=0.5, prefetch=2)
+    got = list(src)
+    assert [p.idx for p in got] == list(range(12))
+    assert got[5].phi == pytest.approx(2.5)
+    np.testing.assert_array_equal(np.stack([p.data for p in got]), frames)
+
+
+def test_source_quality_decimation(tmp_path):
+    """quality=q keeps every q-th global frame (reference source.cpp:105)."""
+    d, frames = _write_scan(tmp_path)
+    src = ProjectionSource(d, delta_phi=1.0, quality=3, prefetch=0)
+    got = list(src)
+    assert [p.idx for p in got] == [0, 3, 6, 9]
+    np.testing.assert_array_equal(got[1].data, frames[3])
+
+
+def test_source_skips_invalid_files(tmp_path, caplog):
+    d, frames = _write_scan(tmp_path)
+    with open(os.path.join(d, "aaa_junk.his"), "wb") as f:
+        f.write(b"garbage")
+    src = ProjectionSource(d, delta_phi=1.0)
+    got = list(src)
+    assert len(got) == 12  # junk skipped, indices unaffected
+
+
+def test_source_angle_file(tmp_path):
+    d, _ = _write_scan(tmp_path)
+    af = tmp_path / "angles.txt"
+    af.write_text(" ".join(str(0.7 * i) for i in range(12)))
+    src = ProjectionSource(d, angle_file=str(af), prefetch=0)
+    got = list(src)
+    assert got[4].phi == pytest.approx(2.8)
+
+
+def test_source_chunks(tmp_path):
+    d, _ = _write_scan(tmp_path)
+    src = ProjectionSource(d, delta_phi=1.0)
+    chunks = list(src.iter_chunks(5))
+    assert [len(c) for c in chunks] == [5, 5, 2]
