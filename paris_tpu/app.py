@@ -1,0 +1,158 @@
+"""End-to-end reconstruction driver: blocks x projection stream -> ddbvf.
+
+The orchestration layer the reference spread across main.cpp's task
+queue, per-device worker threads and the sink (src/main.cpp:79-169) —
+redesigned as a deterministic host loop:
+
+  * z-blocks come from the deterministic HBM-budget planner
+    (``plan_z_blocks``), padded to one uniform shape so every block
+    reuses one compiled program (the reference recompiled nothing but
+    paid a fresh memory probe per device, and its remainder block would
+    have forced a recompile here);
+  * per block: stream (or reuse cached) projections through the
+    reconstructor, then write the block at its GLOBAL z offset (fixing
+    reference bug 1) and record completion in the sink manifest —
+    interrupted runs resume with ``resume=True``, recomputing only
+    missing blocks;
+  * projections are cached host-side when they fit in RAM (the
+    reference re-read every HIS file once per subvolume per device,
+    SURVEY.md §3.2 "re-scans dir per task").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from .geometry import (
+    DetectorGeometry, RegionOfInterest, VolumeGeometry,
+    SubvolumeInfo, apply_roi, derive_volume_geometry, plan_z_blocks,
+)
+from .io.sink import VolumeSink
+from .io.source import ProjectionSource
+from .pipeline import Reconstructor
+from .utils.logging import StageTimers, fmt_duration
+
+logger = logging.getLogger("paris_tpu.app")
+
+__all__ = ["ReconstructionJob", "run_job"]
+
+
+@dataclasses.dataclass
+class ReconstructionJob:
+    det: DetectorGeometry
+    input_path: str
+    output_path: str
+    prefix: str = "vol"
+    angle_path: Optional[str] = None
+    quality: int = 1
+    roi: Optional[RegionOfInterest] = None
+    chunk_size: int = 16
+    backend: str = "auto"
+    hbm_budget_bytes: Optional[int] = None
+    cache_projections: Optional[bool] = None   # None = auto by RAM
+    resume: bool = False
+    max_cache_bytes: int = 64 << 30
+
+
+def _roi_offset(job: ReconstructionJob) -> Tuple[int, int, int]:
+    if job.roi is None:
+        return (0, 0, 0)
+    return (job.roi.x1, job.roi.y1, job.roi.z1)
+
+
+def run_job(job: ReconstructionJob) -> str:
+    """Run a full reconstruction; returns the output ddbvf path."""
+    t_start = time.perf_counter()
+    timers = StageTimers()
+
+    full_geo = derive_volume_geometry(job.det)
+    logger.info("volume [vx]: %d x %d x %d, voxel %.4f mm",
+                full_geo.dim_x, full_geo.dim_y, full_geo.dim_z,
+                full_geo.l_vx_x)
+    vol_geo = apply_roi(full_geo, job.roi) if job.roi else full_geo
+    if job.roi:
+        logger.info("ROI volume [vx]: %d x %d x %d",
+                    vol_geo.dim_x, vol_geo.dim_y, vol_geo.dim_z)
+
+    proj_bytes = 4 * job.det.n_row * job.det.n_col
+    info = plan_z_blocks(
+        vol_geo,
+        hbm_budget_bytes=job.hbm_budget_bytes,
+        proj_buffer_bytes=4 * proj_bytes * job.chunk_size,
+    )
+    logger.info("z-split: %d block(s) of %d slices (padded)",
+                info.num, info.dim_z_padded)
+
+    sink = VolumeSink(job.output_path, job.prefix, vol_geo.dim_x,
+                      vol_geo.dim_y, vol_geo.dim_z, resume=job.resume)
+
+    rec = Reconstructor(
+        job.det, full_geo, chunk_size=job.chunk_size, backend=job.backend,
+        block_shape=(info.dim_z_padded, vol_geo.dim_y, vol_geo.dim_x),
+    )
+    logger.info("backend: %s, chunk size %d", rec.backend, job.chunk_size)
+
+    def new_source() -> ProjectionSource:
+        return ProjectionSource(
+            job.input_path, angle_file=job.angle_path,
+            delta_phi=job.det.delta_phi, quality=job.quality,
+        )
+
+    # decide on host-side projection caching
+    cache = job.cache_projections
+    cached: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
+    rx1, ry1, rz1 = _roi_offset(job)
+    n_done = 0
+    for block in info.blocks:
+        if sink.is_done(block.index):
+            logger.info("block %d already complete, skipping (resume)",
+                        block.index)
+            continue
+        logger.info("reconstructing block %d/%d (z %d..%d)",
+                    block.index + 1, info.num, block.z0,
+                    block.z0 + block.dim_z - 1)
+        volume = rec.init_block()
+        n_proj = 0
+        with timers.time("reconstruct"):
+            if cached is not None:
+                data, angs = cached
+                volume = rec.accumulate(
+                    volume, data, angs,
+                    z_offset=block.z0, roi_offset=(rx1, ry1, rz1))
+                n_proj = len(angs)
+            else:
+                collect = cache is not False and info.num > 1
+                datas, angles = [], []
+                for chunk in new_source().iter_chunks(job.chunk_size):
+                    data = np.stack([p.data for p in chunk])
+                    angs = np.asarray([p.phi for p in chunk], np.float32)
+                    volume = rec.accumulate(
+                        volume, data, angs,
+                        z_offset=block.z0, roi_offset=(rx1, ry1, rz1))
+                    n_proj += len(chunk)
+                    if collect:
+                        datas.append(data)
+                        angles.append(angs)
+                        if sum(d.nbytes for d in datas) > job.max_cache_bytes:
+                            collect, datas, angles = False, [], []
+                if collect and datas:
+                    cached = (np.concatenate(datas), np.concatenate(angles))
+        if n_proj == 0:
+            logger.warning("no projections found in %s", job.input_path)
+        with timers.time("finalize+write"):
+            out = rec.finalize(volume)[: block.dim_z]
+            sink.write_block(block.index, out, block.z0)
+        n_done += 1
+        logger.info("block %d done (%d projections)", block.index, n_proj)
+
+    total = time.perf_counter() - t_start
+    timers.report(logger)
+    logger.info("reconstruction finished in %s -> %s",
+                fmt_duration(total), sink.path)
+    return sink.path

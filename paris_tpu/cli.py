@@ -1,0 +1,145 @@
+"""Command-line interface — mirrors the reference's flags.
+
+Reference: src/program_options.cpp:37-153.  Same flag names and
+semantics (``--geometry``, ``--input``/``--output`` pair, ``--name``,
+``--angles``, ``--quality``, ``--roi`` + six coords,
+``--geometry-format``), same degenerate modes (geometry-only dry run
+when no I/O requested, src/main.cpp:132,179), plus TPU-era additions
+(``--backend``, ``--chunk-size``, ``--resume``, ``--hbm-budget-gb``,
+``--distributed``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from typing import List, Optional
+
+from . import __version__
+from .geometry import RegionOfInterest, derive_volume_geometry, apply_roi
+from .io.geometry_file import geometry_format_help, load_geometry_file
+from .utils.logging import setup_logging
+
+logger = logging.getLogger("paris_tpu.cli")
+
+BANNER = f"paris_tpu {__version__} — TPU-native cone-beam CT reconstruction"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="paris-tpu", description=BANNER, add_help=True)
+    p.add_argument("--geometry-format", action="store_true",
+                   help="display geometry file format and exit")
+    p.add_argument("--geometry", help="path to geometry file")
+    p.add_argument("--input", help="path to projections (optional)")
+    p.add_argument("--output", help="output directory for the volume (optional)")
+    p.add_argument("--name", default="vol",
+                   help="name of the reconstructed volume (optional)")
+    p.add_argument("--angles", help="path to projection angles (optional)")
+    p.add_argument("--quality", type=int, default=1,
+                   help="quality setting: keep every q-th projection (optional)")
+    p.add_argument("--roi", action="store_true",
+                   help="region of interest switch (optional)")
+    for c in ("x1", "x2", "y1", "y2", "z1", "z2"):
+        p.add_argument(f"--roi-{c}", type=int, default=None,
+                       help=f"ROI coordinate {c}")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "pallas", "xla"],
+                   help="backprojection backend")
+    p.add_argument("--chunk-size", type=int, default=16,
+                   help="projections accumulated per device pass")
+    p.add_argument("--hbm-budget-gb", type=float, default=None,
+                   help="per-device HBM budget driving the z-block split")
+    p.add_argument("--resume", action="store_true",
+                   help="resume: skip blocks recorded complete in the manifest")
+    p.add_argument("--distributed", action="store_true",
+                   help="shard the reconstruction over all visible devices")
+    p.add_argument("--verbose", action="store_true", help="debug logging")
+    p.add_argument("--version", action="version", version=__version__)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    setup_logging(args.verbose)
+    print(BANNER, file=sys.stderr)
+
+    if args.geometry_format:
+        print(geometry_format_help())
+        return 0
+
+    if not args.geometry:
+        print("error: --geometry is required", file=sys.stderr)
+        return 2
+    try:
+        det = load_geometry_file(args.geometry)
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    roi = None
+    if args.roi:
+        coords = {c: getattr(args, f"roi_{c}") for c in
+                  ("x1", "x2", "y1", "y2", "z1", "z2")}
+        missing = [f"--roi-{c}" for c, v in coords.items() if v is None]
+        if missing:
+            print(f"error: the option '{missing[0]}' is required but missing",
+                  file=sys.stderr)
+            return 2
+        roi = RegionOfInterest(**coords)
+
+    # I/O conditional-requirement pair (reference program_options.cpp:117-122)
+    if bool(args.input) != bool(args.output):
+        which = "--output" if args.input else "--input"
+        print(f"error: the option '{which}' is required but missing",
+              file=sys.stderr)
+        return 2
+
+    vol_geo = derive_volume_geometry(det)
+    logger.info("volume [vx]: %d x %d x %d, voxel %.4f mm",
+                vol_geo.dim_x, vol_geo.dim_y, vol_geo.dim_z, vol_geo.l_vx_x)
+    if roi is not None:
+        try:
+            roi_geo = apply_roi(vol_geo, roi)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        logger.info("ROI volume [vx]: %d x %d x %d",
+                    roi_geo.dim_x, roi_geo.dim_y, roi_geo.dim_z)
+
+    if not args.input:
+        # geometry dry-run mode (reference main.cpp:132,179)
+        logger.info("no --input/--output given: geometry dry run complete")
+        return 0
+
+    from .app import ReconstructionJob, run_job
+
+    job = ReconstructionJob(
+        det=det,
+        input_path=args.input,
+        output_path=args.output,
+        prefix=args.name,
+        angle_path=args.angles,
+        quality=args.quality,
+        roi=roi,
+        chunk_size=args.chunk_size,
+        backend=args.backend,
+        hbm_budget_bytes=(int(args.hbm_budget_gb * (1 << 30))
+                          if args.hbm_budget_gb else None),
+        resume=args.resume,
+    )
+    try:
+        if args.distributed:
+            from .parallel.app import run_job_distributed
+            run_job_distributed(job)
+        else:
+            run_job(job)
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

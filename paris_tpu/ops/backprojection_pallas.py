@@ -1,0 +1,298 @@
+"""Voxel-driven FDK backprojection — Pallas TPU kernel (the hot path).
+
+Same math as ``backprojection_xla`` (reference:
+src/openmp/backprojection.cpp:96-152, src/cuda/backprojection.cu:65-130),
+re-architected for the TPU's vector/matrix units, which have no general
+per-element gather.  The CUDA kernel's texture fetch is decomposed into
+two structured interpolations:
+
+  stage 1 — h-interpolation as a BANDED ONE-HOT MATMUL on the MXU.
+    For one y-row and one 128-voxel x-tile, the detector column
+    coordinate h(x) spans a narrow band of the detector (bounded by
+    |dh/dx| <= span_bound, computed from the geometry at trace time).
+    The projection chunk is kept transposed in VMEM as P_T[h, v]; a
+    dynamic sublane slice picks the 256-row band, and a (128 x BAND)
+    one-hot interpolation matrix (2 nonzeros per row: 1-fh, fh)
+    multiplies it:
+        Q[x, v] = sum_h W[x, h] * P_T[band_h, v]
+    Q is cached in VMEM scratch and reused across all z-tiles of the
+    (y, x-tile) column.  Detector h-border-zero falls out for free:
+    out-of-range h0 rows have no one-hot match and yield zero.
+
+  stage 2 — v-interpolation as WINDOWED LANE GATHERS on the VPU.
+    For an (8 x, 128 z) output tile, v(x, z) = z*factor(x) indexes Q's
+    v axis.  TPU supports per-lane gather only within a 128-wide
+    window (jnp.take_along_axis axis=1 on (8,128) tables), so Q is
+    scanned in static 128-wide windows; each window contributes via
+    gather + in-window select.  Both bilinear corners (v0, v0+1) are
+    gathered; border-zero v handling is an explicit mask.
+
+The volume block lives in (y, x, z) layout — z minor (lanes), x on
+sublanes.  The grid is (y, x-tile, z-tile) with z-tile innermost, so
+each (1, 128, 128) volume block is read+written once per chunk of C
+angles: chunking amortizes volume HBM traffic below the roofline bound
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..geometry import DetectorGeometry, VolumeGeometry
+from .backprojection_xla import BpGrid
+
+__all__ = [
+    "backproject_chunk_pallas",
+    "backproject_chunk_pallas_yxz",
+    "pallas_supported",
+    "to_kernel_layout",
+    "from_kernel_layout",
+    "pad_projections_t",
+]
+
+_LANE = 128
+_SUB = 8
+_BAND = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _span_bound_px(grid: BpGrid) -> float:
+    """Trace-time upper bound on |dh/dx| in detector px per voxel."""
+    det, vol = grid.det, grid.vol
+    r = (vol.dim_x / 2.0) * vol.l_vx_x * math.sqrt(2.0)  # padded corner radius
+    r = min(r, abs(grid.d_so) * 0.95)
+    f_max = grid.d_sd / (abs(grid.d_so) - r)
+    return (vol.l_vx_x / det.l_px_row) * f_max * (1.0 + math.sqrt(2.0) * r /
+                                                  (abs(grid.d_so) - r))
+
+
+def pallas_supported(grid: BpGrid) -> bool:
+    """The banded h-interp requires the x-tile's h span to fit the band."""
+    # margin: bilinear corner (+2), sublane quantization of the band
+    # start (+8), floor slack (+2)
+    return (_LANE - 1) * _span_bound_px(grid) + 12.0 <= _BAND
+
+
+def to_kernel_layout(vol_zyx: jnp.ndarray) -> jnp.ndarray:
+    """(dz, ny, nx) -> (ny, nxp, nzp) with x,z padded to 128."""
+    dz, ny, nx = vol_zyx.shape
+    out = jnp.transpose(vol_zyx, (1, 2, 0))
+    return jnp.pad(out, ((0, 0), (0, _round_up(nx, _LANE) - nx),
+                         (0, _round_up(dz, _LANE) - dz)))
+
+
+def from_kernel_layout(vol_yxz: jnp.ndarray, shape_zyx: Tuple[int, int, int]
+                       ) -> jnp.ndarray:
+    dz, ny, nx = shape_zyx
+    return jnp.transpose(vol_yxz[:ny, :nx, :dz], (2, 0, 1))
+
+
+def pad_projections_t(projections: jnp.ndarray) -> jnp.ndarray:
+    """(C, n_col, n_row) -> transposed padded (C, HP, VP): axis1=h, axis2=v."""
+    C, n_col, n_row = projections.shape
+    pt = jnp.transpose(projections, (0, 2, 1))
+    return jnp.pad(pt, ((0, 0), (0, _round_up(n_row, _SUB) - n_row),
+                        (0, _round_up(n_col, _LANE) - n_col)))
+
+
+def _bp_kernel(
+    # SMEM scalar refs
+    sin_ref, cos_ref, off_ref,
+    # VMEM refs
+    proj_ref, vol_in_ref, vol_out_ref,
+    # scratch
+    q_ref,
+    *,
+    grid: BpGrid,
+    C: int,
+    HP: int,
+    VP: int,
+    band: int,
+):
+    det, vol = grid.det, grid.vol
+    y = pl.program_id(0)
+    xt = pl.program_id(1)
+    zt = pl.program_id(2)
+
+    l_vx_x, l_vx_y, l_vx_z = vol.l_vx_x, vol.l_vx_y, vol.l_vx_z
+    off_x = -(vol.dim_x * l_vx_x) / 2.0 + l_vx_x / 2.0
+    off_y = -(vol.dim_y * l_vx_y) / 2.0 + l_vx_y / 2.0
+    off_z = -(vol.dim_z * l_vx_z) / 2.0 + l_vx_z / 2.0
+    d_so, d_sd = grid.d_so, grid.d_sd
+    n_row, n_col = det.n_row, det.n_col
+
+    rx1 = off_ref[0]
+    ry1 = off_ref[1]
+    z0g = off_ref[2]  # rz1 + z_offset combined by the wrapper
+
+    # per-x voxel geometry, shape (LANE, 1); cheap enough to recompute per step
+    xi = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 1), 0) + xt * _LANE + rx1
+    xs = xi.astype(jnp.float32) * l_vx_x + off_x
+    ys = (y + ry1).astype(jnp.float32) * l_vx_y + off_y
+
+    def per_angle(c):
+        sin_c, cos_c = sin_ref[c], cos_ref[c]
+        s = xs * cos_c + ys * sin_c                      # (LANE, 1)
+        t = -xs * sin_c + ys * cos_c
+        denom = s + d_so
+        safe = denom > 1e-3 * abs(d_so)
+        inv = jnp.where(safe, 1.0 / denom, 0.0)
+        factor = d_sd * inv
+        weight = jnp.where(safe, 0.5 * (d_so * inv) ** 2, 0.0)
+        return safe, factor, weight
+
+    # ---- stage 1 (once per (y, x-tile)): fill the Q scratch --------------
+    @pl.when(zt == 0)
+    def _stage1():
+        band_cols = jax.lax.broadcasted_iota(jnp.int32, (_LANE, band), 1)
+        for c in range(C):
+            safe, factor, _ = per_angle(c)
+            sin_c, cos_c = sin_ref[c], cos_ref[c]
+            t = -xs * sin_c + ys * cos_c
+            h = (t * factor - grid.h_min) / det.l_px_row - 0.5
+            h0f = jnp.floor(h)
+            fh = h - h0f
+            valid_h = safe & (h0f >= 0.0) & (h0f + 1.0 <= n_row - 1)
+            h0 = jnp.clip(h0f, -1.0, float(n_row - 1)).astype(jnp.int32)
+
+            b0 = jnp.clip(jnp.min(jnp.where(valid_h, h0, n_row - 1)),
+                          0, max(0, HP - band))
+            # sublane-aligned window start (Mosaic requires multiples of 8)
+            b0 = pl.multiple_of((b0 // _SUB) * _SUB, _SUB)
+            rel = h0 - b0                                 # (LANE, 1)
+            fhw = jnp.where(valid_h, fh, 0.0)
+            one_m = jnp.where(valid_h, 1.0 - fh, 0.0)
+            W = (jnp.where(band_cols == rel, one_m, 0.0)
+                 + jnp.where(band_cols == rel + 1, fhw, 0.0))
+            band_rows = proj_ref[c, pl.ds(b0, band), :]    # (band, VP)
+            q_ref[c] = jax.lax.dot_general(
+                W, band_rows, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                              # (LANE, VP)
+
+    # ---- stage 2: v-interp + accumulate this (1, LANE, LANE) block -------
+    zidx = (jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+            + zt * _LANE + z0g)
+    zs = zidx.astype(jnp.float32) * l_vx_z + off_z         # (1, LANE)
+
+    factors, weights = [], []
+    for c in range(C):
+        _, factor, weight = per_angle(c)
+        factors.append(factor)
+        weights.append(weight)
+
+    for g in range(_LANE // _SUB):
+        sl = slice(g * _SUB, (g + 1) * _SUB)
+        total = vol_in_ref[0, sl, :]                       # (SUB, LANE)
+        for c in range(C):
+            f_g = factors[c][sl]                           # (SUB, 1)
+            w_g = weights[c][sl]
+            v = (zs * f_g - grid.v_min) / det.l_px_col - 0.5   # (SUB, LANE)
+            v0f = jnp.floor(v)
+            fv = v - v0f
+            valid = (v0f >= 0.0) & (v0f + 1.0 <= n_col - 1)
+            v0 = jnp.clip(v0f, -1.0, float(n_col - 1)).astype(jnp.int32)
+
+            acc0 = jnp.zeros((_SUB, _LANE), jnp.float32)
+            acc1 = jnp.zeros((_SUB, _LANE), jnp.float32)
+            for k in range(VP // _LANE):
+                win = q_ref[c, sl, k * _LANE:(k + 1) * _LANE]
+                rel0 = v0 - k * _LANE
+                g0 = jnp.take_along_axis(
+                    win, jnp.clip(rel0, 0, _LANE - 1), axis=1)
+                acc0 = jnp.where((rel0 >= 0) & (rel0 < _LANE), g0, acc0)
+                rel1 = rel0 + 1
+                g1 = jnp.take_along_axis(
+                    win, jnp.clip(rel1, 0, _LANE - 1), axis=1)
+                acc1 = jnp.where((rel1 >= 0) & (rel1 < _LANE), g1, acc1)
+
+            total = total + jnp.where(
+                valid, w_g * (acc0 * (1.0 - fv) + acc1 * fv), 0.0)
+        vol_out_ref[0, sl, :] = total
+
+
+def backproject_chunk_pallas_yxz(
+    volume_yxz: jnp.ndarray,        # (ny, nxp, nzp) kernel layout
+    proj_t: jnp.ndarray,            # (C, HP, VP) transposed padded
+    sin_phi: jnp.ndarray,           # (C,)
+    cos_phi: jnp.ndarray,           # (C,)
+    grid: BpGrid,
+    offsets,                        # int32 (3,): rx1, ry1, rz1+z_offset
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Accumulate C projections into a kernel-layout volume block."""
+    ny, nxp, nzp = volume_yxz.shape
+    C, HP, VP = proj_t.shape
+    assert nxp % _LANE == 0 and nzp % _LANE == 0, (nxp, nzp)
+    band = min(_BAND, HP)
+    if not pallas_supported(grid):
+        raise ValueError(
+            "geometry's h-span per x-tile exceeds the interpolation band; "
+            "use the XLA backend")
+
+    kern = functools.partial(
+        _bp_kernel, grid=grid, C=C, HP=HP, VP=VP, band=band)
+
+    pgrid = (ny, nxp // _LANE, nzp // _LANE)
+    return pl.pallas_call(
+        kern,
+        grid=pgrid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # sin
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # cos
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # offsets
+            pl.BlockSpec((C, HP, VP), lambda y, xt, zt: (0, 0, 0),
+                         memory_space=pltpu.VMEM),     # proj_t
+            pl.BlockSpec((1, _LANE, _LANE), lambda y, xt, zt: (y, xt, zt),
+                         memory_space=pltpu.VMEM),     # vol in
+        ],
+        out_specs=pl.BlockSpec((1, _LANE, _LANE), lambda y, xt, zt: (y, xt, zt),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ny, nxp, nzp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((C, _LANE, VP), jnp.float32)],
+        input_output_aliases={4: 0},
+        interpret=interpret,
+    )(sin_phi, cos_phi, offsets, proj_t, volume_yxz)
+
+
+def backproject_chunk_pallas(
+    volume: jnp.ndarray,            # (dz, ny, nx) external layout
+    projections: jnp.ndarray,       # (C, n_col, n_row) filtered
+    sin_phi: jnp.ndarray,
+    cos_phi: jnp.ndarray,
+    grid: BpGrid,
+    z_offset=0,
+    roi_offset: Tuple[int, int, int] = (0, 0, 0),
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in replacement for ``backproject_chunk_xla``.
+
+    Converts layouts per call — for repeated chunks prefer keeping the
+    accumulator in kernel layout via ``backproject_chunk_pallas_yxz``
+    (``pipeline.Reconstructor`` does).
+    """
+    dz, ny, nx = volume.shape
+    rx1, ry1, rz1 = roi_offset
+    vk = to_kernel_layout(volume)
+    pt = pad_projections_t(projections)
+    offs = jnp.stack([
+        jnp.asarray(rx1, jnp.int32), jnp.asarray(ry1, jnp.int32),
+        jnp.asarray(rz1, jnp.int32) + jnp.asarray(z_offset, jnp.int32),
+    ])
+    out = backproject_chunk_pallas_yxz(
+        vk, pt, sin_phi, cos_phi, grid, offs, interpret=interpret)
+    return from_kernel_layout(out, (dz, ny, nx))

@@ -9,8 +9,8 @@ projection at a time) with a TPU-idiomatic design:
     want batches), and the backprojection accumulates the full chunk per
     volume pass so HBM volume traffic is amortized by the chunk size;
   * the volume accumulator is DONATED between steps (in-place update,
-    no copy — the XLA analog of the reference accumulating in a device
-    buffer);
+    no copy) and, on the Pallas backend, kept in kernel layout
+    (y, x, z) for the whole run — transposed once at the end;
   * host->device feeding is overlapped with device compute via JAX async
     dispatch: while the device runs chunk i, the host stages chunk i+1.
 
@@ -21,7 +21,7 @@ the convenience one-shot driver.
 from __future__ import annotations
 
 import functools
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 import jax
@@ -40,6 +40,10 @@ def preprocess_chunk(chunk, weights, spectrum, n_row):
     return filter_projections(chunk * weights, spectrum, n_row)
 
 
+def _auto_backend() -> str:
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 class Reconstructor:
     """Compiled single-device FDK step for one (det, vol) geometry.
 
@@ -56,6 +60,7 @@ class Reconstructor:
         chunk_size: int = 16,
         block_shape: Optional[Tuple[int, int, int]] = None,  # (dz, ny, nx)
         backend: str = "auto",
+        interpret: bool = False,
         device=None,
     ):
         self.det = det
@@ -68,34 +73,49 @@ class Reconstructor:
         self._spectrum = ramp_filter_spectrum(det.n_row, det.l_px_row)
 
         if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+            backend = _auto_backend()
+            if backend == "pallas":
+                from .ops.backprojection_pallas import pallas_supported
+                if not pallas_supported(self.grid):
+                    backend = "xla"
         self.backend = backend
+
         if backend == "pallas":
-            from .ops.backprojection_pallas import backproject_chunk_pallas
-            self._bp = backproject_chunk_pallas
+            from .ops import backprojection_pallas as bpp
+            self._bpp = bpp
+            dz, ny, nx = self.block_shape
+            self._state_shape = (
+                ny, bpp._round_up(nx, 128), bpp._round_up(dz, 128))
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def _step(volume_yxz, chunk, sin_phi, cos_phi, offs):
+                filtered = preprocess_chunk(
+                    chunk, self._weights, self._spectrum, det.n_row)
+                proj_t = bpp.pad_projections_t(filtered)
+                return bpp.backproject_chunk_pallas_yxz(
+                    volume_yxz, proj_t, sin_phi, cos_phi, self.grid, offs,
+                    interpret=interpret)
+
+            self._step = _step
         elif backend == "xla":
-            self._bp = backproject_chunk_xla
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def _step(volume, chunk, sin_phi, cos_phi, offs):
+                filtered = preprocess_chunk(
+                    chunk, self._weights, self._spectrum, det.n_row)
+                return backproject_chunk_xla(
+                    volume, filtered, sin_phi, cos_phi, self.grid,
+                    z_offset=offs[2], roi_offset=(offs[0], offs[1], 0),
+                )
+
+            self._state_shape = self.block_shape
+            self._step = _step
         else:
             raise ValueError(f"unknown backend {backend!r}")
 
-        @functools.partial(jax.jit, static_argnames=("z_offset", "roi_offset"),
-                           donate_argnums=(0,))
-        def _step(volume, chunk, sin_phi, cos_phi, z_offset, roi_offset):
-            filtered = preprocess_chunk(
-                chunk, self._weights, self._spectrum, det.n_row
-            )
-            return self._bp(
-                volume, filtered, sin_phi, cos_phi, self.grid,
-                z_offset=z_offset, roi_offset=roi_offset,
-            )
-
-        self._step = _step
-
     # -- chunk iteration ----------------------------------------------------
 
-    def _chunks(
-        self, projections, angles_deg
-    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def _chunks(self, projections, angles_deg) -> Iterator[Tuple[np.ndarray,
+                                                                 np.ndarray]]:
         """Yield fixed-size (chunk, angles) pairs, zero-padding the tail.
 
         Zero-padded projections contribute nothing (filter of zeros is
@@ -115,7 +135,7 @@ class Reconstructor:
     # -- public API ---------------------------------------------------------
 
     def init_block(self) -> jnp.ndarray:
-        z = jnp.zeros(self.block_shape, jnp.float32)
+        z = jnp.zeros(self._state_shape, jnp.float32)
         return jax.device_put(z, self.device) if self.device else z
 
     def accumulate(
@@ -128,6 +148,8 @@ class Reconstructor:
         roi_offset: Tuple[int, int, int] = (0, 0, 0),
     ) -> jnp.ndarray:
         """Stream all projections through weight/filter/backproject."""
+        rx1, ry1, rz1 = roi_offset
+        offs = jnp.asarray([rx1, ry1, rz1 + z_offset], jnp.int32)
         for chunk, ang in self._chunks(projections, angles_deg):
             phi = np.deg2rad(ang).astype(np.float32)
             volume = self._step(
@@ -135,10 +157,20 @@ class Reconstructor:
                 jnp.asarray(chunk),
                 jnp.asarray(np.sin(phi)),
                 jnp.asarray(np.cos(phi)),
-                z_offset,
-                roi_offset,
+                offs,
             )
         return volume
+
+    def finalize(self, volume: jnp.ndarray) -> np.ndarray:
+        """Backend state -> (dz, ny, nx) ndarray."""
+        if self.backend == "pallas":
+            out = self._bpp.from_kernel_layout(volume, self.block_shape)
+            return np.asarray(out)
+        return np.asarray(volume)
+
+    def run(self, projections, angles_deg, **kw) -> np.ndarray:
+        return self.finalize(
+            self.accumulate(self.init_block(), projections, angles_deg, **kw))
 
 
 def reconstruct(
@@ -152,13 +184,12 @@ def reconstruct(
     z_offset: int = 0,
     roi_offset: Tuple[int, int, int] = (0, 0, 0),
     block_shape: Optional[Tuple[int, int, int]] = None,
+    interpret: bool = False,
 ) -> np.ndarray:
     """One-shot FDK reconstruction; returns the (dz, ny, nx) volume."""
     rec = Reconstructor(
-        det, vol, chunk_size=chunk_size, backend=backend, block_shape=block_shape
+        det, vol, chunk_size=chunk_size, backend=backend,
+        block_shape=block_shape, interpret=interpret,
     )
-    out = rec.accumulate(
-        rec.init_block(), projections, angles_deg,
-        z_offset=z_offset, roi_offset=roi_offset,
-    )
-    return np.asarray(out)
+    return rec.run(projections, angles_deg,
+                   z_offset=z_offset, roi_offset=roi_offset)

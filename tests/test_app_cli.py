@@ -1,0 +1,164 @@
+"""End-to-end app driver + CLI tests (CPU, synthetic scan on disk)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from paris_tpu.cli import main as cli_main
+from paris_tpu.geometry import DetectorGeometry, derive_volume_geometry
+from paris_tpu.io import ddbvf
+from paris_tpu.io.geometry_file import dump_geometry_file
+from paris_tpu.io.his import write_his
+from paris_tpu.app import ReconstructionJob, run_job
+from paris_tpu.phantom import cone_beam_project
+from paris_tpu.pipeline import reconstruct
+
+
+@pytest.fixture(scope="module")
+def scan(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scan")
+    det = DetectorGeometry(
+        n_row=64, n_col=64, l_px_row=2.0, l_px_col=2.0,
+        delta_s=0.0, delta_t=0.0, d_so=500.0, d_od=500.0, delta_phi=6.0,
+    )
+    vol = derive_volume_geometry(det)
+    angles = np.arange(60, dtype=np.float32) * det.delta_phi
+    scale = vol.dim_x * vol.l_vx_x / 2.0 * 0.9
+    projs = cone_beam_project(det, angles, scale_mm=scale)
+
+    pdir = root / "proj"
+    pdir.mkdir()
+    for i in range(0, 60, 15):
+        write_his(str(pdir / f"b{i:03d}.his"), projs[i:i + 15])
+    gpath = root / "scan.geo"
+    dump_geometry_file(det, str(gpath))
+    return dict(root=root, det=det, vol=vol, projs=projs, angles=angles,
+                pdir=str(pdir), gpath=str(gpath))
+
+
+def test_run_job_single_block(scan, tmp_path):
+    det, vol = scan["det"], scan["vol"]
+    job = ReconstructionJob(
+        det=det, input_path=scan["pdir"], output_path=str(tmp_path),
+        prefix="v1", chunk_size=16, backend="xla",
+    )
+    out = run_job(job)
+    assert ddbvf.open_meta(out) == (vol.dim_x, vol.dim_y, vol.dim_z)
+    got = ddbvf.read_volume(out)
+    ref = reconstruct(det, vol, scan["projs"], scan["angles"],
+                      chunk_size=16, backend="xla")
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_run_job_multi_block_matches_single(scan, tmp_path):
+    det, vol = scan["det"], scan["vol"]
+    slice_bytes = 4 * vol.dim_x * vol.dim_y
+    job = ReconstructionJob(
+        det=det, input_path=scan["pdir"], output_path=str(tmp_path),
+        prefix="v2", chunk_size=16, backend="xla",
+        hbm_budget_bytes=slice_bytes * 24 + 4 * (4 * 64 * 64) * 16,  # ~24-slice blocks
+    )
+    out = run_job(job)
+    got = ddbvf.read_volume(out)
+    ref = reconstruct(det, vol, scan["projs"], scan["angles"],
+                      chunk_size=16, backend="xla")
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_run_job_resume_skips_done_blocks(scan, tmp_path, caplog):
+    det, vol = scan["det"], scan["vol"]
+    slice_bytes = 4 * vol.dim_x * vol.dim_y
+    kw = dict(
+        det=det, input_path=scan["pdir"], output_path=str(tmp_path),
+        prefix="v3", chunk_size=16, backend="xla",
+        hbm_budget_bytes=slice_bytes * 24 + 4 * (4 * 64 * 64) * 16,
+    )
+    out = run_job(ReconstructionJob(**kw))
+    manifest = json.load(open(out + ".manifest.json"))
+    n_blocks = len(manifest["completed_blocks"])
+    assert n_blocks >= 2
+
+    # resume on a complete output: every block skipped
+    import logging
+    with caplog.at_level(logging.INFO):
+        run_job(ReconstructionJob(**kw, resume=True))
+    assert sum("skipping" in r.message for r in caplog.records) == n_blocks
+
+
+def test_run_job_quality(scan, tmp_path):
+    det, vol = scan["det"], scan["vol"]
+    job = ReconstructionJob(
+        det=det, input_path=scan["pdir"], output_path=str(tmp_path),
+        prefix="vq", chunk_size=16, backend="xla", quality=2,
+    )
+    out = run_job(job)
+    got = ddbvf.read_volume(out)
+    ref = reconstruct(det, vol, scan["projs"][::2], scan["angles"][::2],
+                      chunk_size=16, backend="xla")
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+# ------------------------------------------------------------------ CLI
+
+def test_cli_geometry_format(capsys):
+    assert cli_main(["--geometry-format"]) == 0
+    assert "n_row" in capsys.readouterr().out
+
+
+def test_cli_dry_run(scan):
+    assert cli_main(["--geometry", scan["gpath"]]) == 0
+
+
+def test_cli_missing_geometry():
+    assert cli_main([]) == 2
+
+
+def test_cli_io_pair_enforced(scan, capsys):
+    rc = cli_main(["--geometry", scan["gpath"], "--input", scan["pdir"]])
+    assert rc == 2
+    assert "--output" in capsys.readouterr().err
+
+
+def test_cli_roi_requires_coords(scan, capsys):
+    rc = cli_main(["--geometry", scan["gpath"], "--roi", "--roi-x1", "0"])
+    assert rc == 2
+    assert "roi" in capsys.readouterr().err
+
+
+def test_cli_full_reconstruction(scan, tmp_path):
+    rc = cli_main([
+        "--geometry", scan["gpath"],
+        "--input", scan["pdir"],
+        "--output", str(tmp_path),
+        "--name", "clivol",
+        "--backend", "xla",
+        "--chunk-size", "16",
+    ])
+    assert rc == 0
+    det, vol = scan["det"], scan["vol"]
+    assert ddbvf.open_meta(str(tmp_path / "clivol.ddbvf")) == \
+        (vol.dim_x, vol.dim_y, vol.dim_z)
+
+
+def test_cli_roi_reconstruction(scan, tmp_path):
+    det, vol = scan["det"], scan["vol"]
+    rc = cli_main([
+        "--geometry", scan["gpath"],
+        "--input", scan["pdir"],
+        "--output", str(tmp_path),
+        "--name", "roivol",
+        "--backend", "xla",
+        "--roi",
+        "--roi-x1", "10", "--roi-x2", "29",
+        "--roi-y1", "12", "--roi-y2", "31",
+        "--roi-z1", "4", "--roi-z2", "23",
+    ])
+    assert rc == 0
+    got = ddbvf.read_volume(str(tmp_path / "roivol.ddbvf"))
+    assert got.shape == (20, 20, 20)
+    full = reconstruct(det, vol, scan["projs"], scan["angles"],
+                       chunk_size=16, backend="xla")
+    np.testing.assert_allclose(got, full[4:24, 12:32, 10:30],
+                               rtol=1e-4, atol=1e-4)

@@ -1,0 +1,97 @@
+"""Pallas backprojection kernel (interpret mode) vs the XLA reference op.
+
+Interpret mode emulates the TPU kernel semantics on CPU (SURVEY.md §4:
+multi-device and kernel logic must be testable without hardware); the
+compiled path is exercised on the real chip by bench.py.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from paris_tpu.geometry import DetectorGeometry, derive_volume_geometry
+from paris_tpu.ops.backprojection_xla import backproject_chunk_xla, make_bp_grid
+from paris_tpu.ops.backprojection_pallas import (
+    backproject_chunk_pallas,
+    pallas_supported,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    det = DetectorGeometry(
+        n_row=96, n_col=80, l_px_row=2.0, l_px_col=2.0,
+        delta_s=0.0, delta_t=0.0, d_so=500.0, d_od=500.0, delta_phi=2.0,
+    )
+    vol = derive_volume_geometry(det)
+    grid = make_bp_grid(det, vol)
+    rng = np.random.default_rng(7)
+    C = 3
+    projs = rng.standard_normal((C, det.n_col, det.n_row)).astype(np.float32)
+    phi = np.deg2rad([0.0, 33.0, 261.5]).astype(np.float32)
+    return det, vol, grid, projs, phi
+
+
+def test_geometry_in_pallas_envelope(setup):
+    _, _, grid, _, _ = setup
+    assert pallas_supported(grid)
+
+
+def test_pallas_matches_xla(setup):
+    det, vol, grid, projs, phi = setup
+    sin, cos = jnp.sin(jnp.asarray(phi)), jnp.cos(jnp.asarray(phi))
+    vol0 = jnp.zeros((vol.dim_z, vol.dim_y, vol.dim_x), jnp.float32)
+
+    ref = np.asarray(backproject_chunk_xla(
+        vol0, jnp.asarray(projs), sin, cos, grid))
+    out = np.asarray(backproject_chunk_pallas(
+        vol0, jnp.asarray(projs), sin, cos, grid, interpret=True))
+
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_accumulates_into_existing(setup):
+    det, vol, grid, projs, phi = setup
+    sin, cos = jnp.sin(jnp.asarray(phi)), jnp.cos(jnp.asarray(phi))
+    rng = np.random.default_rng(8)
+    base = rng.standard_normal((vol.dim_z, vol.dim_y, vol.dim_x)).astype(np.float32)
+
+    ref = np.asarray(backproject_chunk_xla(
+        jnp.asarray(base), jnp.asarray(projs), sin, cos, grid))
+    out = np.asarray(backproject_chunk_pallas(
+        jnp.asarray(base), jnp.asarray(projs), sin, cos, grid, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_z_offset_roi(setup):
+    det, vol, grid, projs, phi = setup
+    sin, cos = jnp.sin(jnp.asarray(phi)), jnp.cos(jnp.asarray(phi))
+    dz = 16
+    vol0 = jnp.zeros((dz, vol.dim_y, vol.dim_x), jnp.float32)
+    ref = np.asarray(backproject_chunk_xla(
+        vol0, jnp.asarray(projs), sin, cos, grid,
+        z_offset=24, roi_offset=(5, 3, 2)))
+    out = np.asarray(backproject_chunk_pallas(
+        vol0, jnp.asarray(projs), sin, cos, grid,
+        z_offset=24, roi_offset=(5, 3, 2), interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_offset_detector(setup):
+    """Nonzero delta_s/delta_t (offset detector, doc/roi_* cases)."""
+    det = DetectorGeometry(
+        n_row=96, n_col=80, l_px_row=2.0, l_px_col=2.0,
+        delta_s=4.6, delta_t=-2.0, d_so=500.0, d_od=500.0, delta_phi=2.0,
+    )
+    vol = derive_volume_geometry(det)
+    grid = make_bp_grid(det, vol)
+    rng = np.random.default_rng(9)
+    projs = rng.standard_normal((2, det.n_col, det.n_row)).astype(np.float32)
+    phi = np.deg2rad([10.0, 190.0]).astype(np.float32)
+    sin, cos = jnp.sin(jnp.asarray(phi)), jnp.cos(jnp.asarray(phi))
+    vol0 = jnp.zeros((vol.dim_z, vol.dim_y, vol.dim_x), jnp.float32)
+    ref = np.asarray(backproject_chunk_xla(
+        vol0, jnp.asarray(projs), sin, cos, grid))
+    out = np.asarray(backproject_chunk_pallas(
+        vol0, jnp.asarray(projs), sin, cos, grid, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
