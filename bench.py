@@ -1,0 +1,79 @@
+"""Benchmark: backprojection throughput on the flagship config.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+North-star metric (BASELINE.json): backprojection Gvoxel-updates/s/chip.
+``vs_baseline`` is the achieved fraction of the chip's memory-roofline
+ceiling for a chunked backprojection (HBM_BW / (8 bytes / chunk_size) —
+see BASELINE.md), i.e. >1.0 means past the naive per-projection
+streaming bound.
+
+Env knobs: PARIS_BENCH_SIZE (default 256; 512/1024 for bigger runs),
+PARIS_BENCH_CHUNK (default 8), PARIS_BENCH_BACKEND (pallas|xla).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    size = int(os.environ.get("PARIS_BENCH_SIZE", "256"))
+    C = int(os.environ.get("PARIS_BENCH_CHUNK", "8"))
+    backend = os.environ.get("PARIS_BENCH_BACKEND", "auto")
+
+    import jax
+    import jax.numpy as jnp
+    from paris_tpu.geometry import DetectorGeometry, derive_volume_geometry
+    from paris_tpu.pipeline import Reconstructor
+
+    # geometry scaled so the derived volume is ~size^3
+    det = DetectorGeometry(
+        n_row=size, n_col=size, l_px_row=1.0, l_px_col=1.0,
+        delta_s=0.0, delta_t=0.0, d_so=8.0 * size, d_od=4.0 * size,
+        delta_phi=0.5,
+    )
+    vol = derive_volume_geometry(det)
+
+    rec = Reconstructor(det, vol, chunk_size=C, backend=backend)
+    rng = np.random.default_rng(0)
+    chunk = rng.standard_normal((C, det.n_col, det.n_row)).astype(np.float32)
+    phi = np.deg2rad(np.arange(C) * det.delta_phi).astype(np.float32)
+    sin = jnp.asarray(np.sin(phi))
+    cos = jnp.asarray(np.cos(phi))
+    chunk_j = jnp.asarray(chunk)
+    offs = jnp.zeros((3,), jnp.int32)
+
+    volume = rec.init_block()
+    # compile + warmup
+    volume = rec._step(volume, chunk_j, sin, cos, offs)
+    volume.block_until_ready()
+
+    iters = max(3, int(np.ceil(2.0e11 / (vol.voxels * C))))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        volume = rec._step(volume, chunk_j, sin, cos, offs)
+    volume.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    updates = vol.voxels * C
+    gups = updates / dt / 1e9
+
+    # roofline ceiling: volume read+write once per chunk => 8B / C per update
+    hbm_bw = float(os.environ.get("PARIS_HBM_GBPS", "819")) * 1e9  # v5e default
+    ceiling_gups = hbm_bw / (8.0 / C) / 1e9
+    result = {
+        "metric": f"backprojection_gvoxel_updates_per_s_{vol.dim_x}cube_{rec.backend}",
+        "value": round(gups, 2),
+        "unit": "Gupd/s/chip",
+        "vs_baseline": round(gups / ceiling_gups, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
