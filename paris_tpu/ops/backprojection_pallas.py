@@ -106,19 +106,47 @@ def pad_projections_t(projections: jnp.ndarray) -> jnp.ndarray:
                         (0, _round_up(n_col, _LANE) - n_col)))
 
 
+def _v_stride_bound(grid: BpGrid) -> float:
+    """Trace-time bound on |dv/dz| (detector rows per voxel step in z)."""
+    det, vol = grid.det, grid.vol
+    r = (vol.dim_x / 2.0) * vol.l_vx_x * math.sqrt(2.0)
+    r = min(r, abs(grid.d_so) * 0.95)
+    f_max = grid.d_sd / (abs(grid.d_so) - r)
+    return f_max * vol.l_vx_z / det.l_px_col
+
+
+def _v_xspread_bound(grid: BpGrid) -> float:
+    """Trace-time bound on the v spread across one 128-voxel x tile."""
+    det, vol = grid.det, grid.vol
+    r = (vol.dim_x / 2.0) * vol.l_vx_x * math.sqrt(2.0)
+    r = min(r, abs(grid.d_so) * 0.95)
+    f_max = grid.d_sd / (abs(grid.d_so) - r)
+    z_max_mm = (vol.dim_z / 2.0 + _LANE) * vol.l_vx_z
+    dfdx = vol.l_vx_x * f_max * f_max / grid.d_sd
+    return z_max_mm * _LANE * dfdx / det.l_px_col
+
+
+def _v_span_windows(grid: BpGrid) -> int:
+    """Number of consecutive 128-wide v windows covering one (x,z) tile."""
+    span = (_LANE - 1) * _v_stride_bound(grid) + _v_xspread_bound(grid) + 4.0
+    return 1 + int(math.ceil(span / _LANE))
+
+
 def _bp_kernel(
     # SMEM scalar refs
     sin_ref, cos_ref, off_ref,
     # VMEM refs
     proj_ref, vol_in_ref, vol_out_ref,
     # scratch
-    q_ref,
+    q_ref, acc_ref,
     *,
     grid: BpGrid,
     C: int,
     HP: int,
     VP: int,
     band: int,
+    mm_precision,
+    span_w: int,
 ):
     det, vol = grid.det, grid.vol
     y = pl.program_id(0)
@@ -179,7 +207,7 @@ def _bp_kernel(
             q_ref[c] = jax.lax.dot_general(
                 W, band_rows, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=mm_precision,
             )                                              # (LANE, VP)
 
     # ---- stage 2: v-interp + accumulate this (1, LANE, LANE) block -------
@@ -187,40 +215,53 @@ def _bp_kernel(
             + zt * _LANE + z0g)
     zs = zidx.astype(jnp.float32) * l_vx_z + off_z         # (1, LANE)
 
-    factors, weights = [], []
+    K = VP // _LANE
+    total = vol_in_ref[0]                                  # (LANE, LANE)
     for c in range(C):
-        _, factor, weight = per_angle(c)
-        factors.append(factor)
-        weights.append(weight)
+        _, factor, weight = per_angle(c)                   # (LANE, 1)
+        v = (zs * factor - grid.v_min) / det.l_px_col - 0.5    # (LANE, LANE)
+        v0f = jnp.floor(v)
+        fv = v - v0f
+        valid = (v0f >= 0.0) & (v0f + 1.0 <= n_col - 1)
+        v0 = jnp.clip(v0f, -1.0, float(n_col - 1)).astype(jnp.int32)
 
-    for g in range(_LANE // _SUB):
-        sl = slice(g * _SUB, (g + 1) * _SUB)
-        total = vol_in_ref[0, sl, :]                       # (SUB, LANE)
-        for c in range(C):
-            f_g = factors[c][sl]                           # (SUB, 1)
-            w_g = weights[c][sl]
-            v = (zs * f_g - grid.v_min) / det.l_px_col - 0.5   # (SUB, LANE)
-            v0f = jnp.floor(v)
-            fv = v - v0f
-            valid = (v0f >= 0.0) & (v0f + 1.0 <= n_col - 1)
-            v0 = jnp.clip(v0f, -1.0, float(n_col - 1)).astype(jnp.int32)
-
-            acc0 = jnp.zeros((_SUB, _LANE), jnp.float32)
-            acc1 = jnp.zeros((_SUB, _LANE), jnp.float32)
-            for k in range(VP // _LANE):
-                win = q_ref[c, sl, k * _LANE:(k + 1) * _LANE]
+        def window_pass(kws):
+            """Gather both bilinear corners from windows [kw, kw+span_w)."""
+            a0 = jnp.zeros((_LANE, _LANE), jnp.float32)
+            a1 = jnp.zeros((_LANE, _LANE), jnp.float32)
+            for k in kws:
+                win = q_ref[c, :, k * _LANE:(k + 1) * _LANE]
                 rel0 = v0 - k * _LANE
                 g0 = jnp.take_along_axis(
                     win, jnp.clip(rel0, 0, _LANE - 1), axis=1)
-                acc0 = jnp.where((rel0 >= 0) & (rel0 < _LANE), g0, acc0)
+                a0 = jnp.where((rel0 >= 0) & (rel0 < _LANE), g0, a0)
                 rel1 = rel0 + 1
                 g1 = jnp.take_along_axis(
                     win, jnp.clip(rel1, 0, _LANE - 1), axis=1)
-                acc1 = jnp.where((rel1 >= 0) & (rel1 < _LANE), g1, acc1)
+                a1 = jnp.where((rel1 >= 0) & (rel1 < _LANE), g1, a1)
+            return a0, a1
 
-            total = total + jnp.where(
-                valid, w_g * (acc0 * (1.0 - fv) + acc1 * fv), 0.0)
-        vol_out_ref[0, sl, :] = total
+        if K <= span_w:
+            acc0, acc1 = window_pass(range(K))
+        else:
+            # only span_w consecutive windows can be touched by this tile:
+            # branch on the (runtime) lowest valid window index — one
+            # predicated branch executes, doing span_w gather pairs
+            # instead of K.
+            vmin = jnp.min(jnp.where(valid, v0, VP - 1))
+            kb = jnp.clip(vmin // _LANE, 0, K - span_w)
+            for k0 in range(K - span_w + 1):
+                @pl.when(kb == k0)
+                def _(k0=k0):
+                    a0, a1 = window_pass(range(k0, k0 + span_w))
+                    acc_ref[0] = a0
+                    acc_ref[1] = a1
+            acc0 = acc_ref[0]
+            acc1 = acc_ref[1]
+
+        total = total + jnp.where(
+            valid, weight * (acc0 * (1.0 - fv) + acc1 * fv), 0.0)
+    vol_out_ref[0] = total
 
 
 def backproject_chunk_pallas_yxz(
@@ -232,6 +273,7 @@ def backproject_chunk_pallas_yxz(
     offsets,                        # int32 (3,): rx1, ry1, rz1+z_offset
     *,
     interpret: bool = False,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Accumulate C projections into a kernel-layout volume block."""
     ny, nxp, nzp = volume_yxz.shape
@@ -242,9 +284,11 @@ def backproject_chunk_pallas_yxz(
         raise ValueError(
             "geometry's h-span per x-tile exceeds the interpolation band; "
             "use the XLA backend")
+    span_w = _v_span_windows(grid)
 
     kern = functools.partial(
-        _bp_kernel, grid=grid, C=C, HP=HP, VP=VP, band=band)
+        _bp_kernel, grid=grid, C=C, HP=HP, VP=VP, band=band,
+        mm_precision=precision, span_w=span_w)
 
     pgrid = (ny, nxp // _LANE, nzp // _LANE)
     return pl.pallas_call(
@@ -262,7 +306,8 @@ def backproject_chunk_pallas_yxz(
         out_specs=pl.BlockSpec((1, _LANE, _LANE), lambda y, xt, zt: (y, xt, zt),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ny, nxp, nzp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((C, _LANE, VP), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((C, _LANE, VP), jnp.float32),
+                        pltpu.VMEM((2, _LANE, _LANE), jnp.float32)],
         input_output_aliases={4: 0},
         interpret=interpret,
     )(sin_phi, cos_phi, offsets, proj_t, volume_yxz)

@@ -85,7 +85,7 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
                     z_offset=block.z0, roi_offset=(rx1, ry1, rz1))
                 n_proj += len(plist)
         with timers.time("finalize+write"):
-            out = np.asarray(volume)[: block.dim_z]
+            out = rec.finalize(volume)[: block.dim_z]
             if jax.process_index() == 0:
                 sink.write_block(block.index, out, block.z0)
         logger.info("block %d done (%d projections)", block.index, n_proj)

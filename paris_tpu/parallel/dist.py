@@ -1,18 +1,23 @@
-"""Distributed FDK: z-sharded volume, ICI-gathered projections.
+"""Distributed FDK: sharded volume, ICI-gathered projections.
 
 Scheme (SURVEY.md §2/§5 distributed design):
 
-  * the volume z-block is sharded over the 1-D mesh axis ``z`` — each
-    device owns a contiguous z-slab (the reference's per-GPU subvolume,
-    src/cuda/subvolume_information.cpp, but static and deterministic);
-  * each projection CHUNK is sharded over the same axis for the
+  * the volume block is sharded over the 1-D mesh — each device owns a
+    contiguous slab (the reference's per-GPU subvolume,
+    src/cuda/subvolume_information.cpp, but static and deterministic).
+    The XLA backend shards the z axis of the (z, y, x) accumulator; the
+    Pallas backend keeps its (y, x, z) kernel layout and shards the
+    Y axis (alignment-free — z must stay 128-padded per shard), which
+    is mathematically identical (backprojection is independent per
+    voxel; the per-shard offset rides the same roi-offset dataflow);
+  * each projection CHUNK is sharded over the mesh for the
     weight+filter stage (the FFTs parallelize over projections), then
     ``all_gather``-ed over ICI so every device backprojects every
     projection into its own slab — communication rides ICI, compute is
     embarrassingly parallel, zero steady-state reductions;
-  * the per-shard global z offset is derived from ``axis_index`` inside
-    ``shard_map`` (the reference lost this offset in a thread_local —
-    SURVEY.md §5 bug 1/2 — here it is pure dataflow).
+  * per-shard offsets are derived from ``axis_index`` inside
+    ``shard_map`` (the reference lost its subvolume offset in a
+    thread_local — SURVEY.md §5 bugs 1/2 — here it is pure dataflow).
 
 Works identically on a virtual CPU mesh (tests), a single real chip
 (mesh of 1), or a multi-host pod slice (``jax.distributed`` +
@@ -30,7 +35,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..geometry import DetectorGeometry, VolumeGeometry
-from ..ops.backprojection_xla import make_bp_grid
+from ..ops.backprojection_xla import backproject_chunk_xla, make_bp_grid
 from ..ops.weighting import weight_map
 from ..ops.filtering import ramp_filter_spectrum, filter_projections
 from .mesh import Z_AXIS, make_z_mesh
@@ -38,13 +43,17 @@ from .mesh import Z_AXIS, make_z_mesh
 __all__ = ["DistributedReconstructor"]
 
 
-class DistributedReconstructor:
-    """FDK over a device mesh: volume z-sharded, projections gathered.
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
-    ``block_dz`` is the (padded) z extent processed at once; it must be
-    divisible by the mesh size.  ``chunk_size`` is the number of
-    projections per device step and must also be divisible by the mesh
-    size (the chunk is filter-sharded over devices).
+
+class DistributedReconstructor:
+    """FDK over a device mesh: volume sharded, projections gathered.
+
+    ``block_dz`` is the (padded) z extent processed at once.
+    ``chunk_size`` is the number of projections per device step; both
+    must satisfy backend-specific divisibility (chunk by mesh size; for
+    the XLA backend block_dz by mesh size as well).
     """
 
     def __init__(
@@ -56,6 +65,7 @@ class DistributedReconstructor:
         chunk_size: int = 16,
         block_dz: Optional[int] = None,
         backend: str = "auto",
+        interpret: bool = False,
     ):
         self.det = det
         self.vol = vol
@@ -67,10 +77,7 @@ class DistributedReconstructor:
                 f"chunk_size {chunk_size} not divisible by mesh size {self.n_dev}"
             )
         dz = block_dz if block_dz is not None else vol.dim_z
-        if dz % self.n_dev:
-            raise ValueError(f"block_dz {dz} not divisible by mesh size {self.n_dev}")
         self.block_dz = dz
-        self.local_dz = dz // self.n_dev
 
         self.grid = make_bp_grid(det, vol)
         self._weights = weight_map(det)
@@ -78,48 +85,80 @@ class DistributedReconstructor:
 
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if backend == "pallas":
-            from ..ops.backprojection_pallas import backproject_chunk_pallas
-            self._bp = backproject_chunk_pallas
-        else:
-            from ..ops.backprojection_xla import backproject_chunk_xla
-            self._bp = backproject_chunk_xla
+            if backend == "pallas":
+                from ..ops.backprojection_pallas import pallas_supported
+                if not pallas_supported(self.grid):
+                    backend = "xla"
+        self.backend = backend
 
-        vol_spec = P(Z_AXIS, None, None)
-        proj_spec = P(Z_AXIS, None, None)
         ang_spec = P(Z_AXIS)
+        proj_spec = P(Z_AXIS, None, None)
 
-        def shard_step(volume, chunk, sin_phi, cos_phi, z_offset, roi_offset):
-            # volume: (local_dz, ny, nx); chunk: (C/n, n_col, n_row)
-            filtered_local = filter_projections(
-                chunk * self._weights, self._spectrum, det.n_row
-            )
-            filtered = jax.lax.all_gather(filtered_local, Z_AXIS, tiled=True)
-            sins = jax.lax.all_gather(sin_phi, Z_AXIS, tiled=True)
-            coss = jax.lax.all_gather(cos_phi, Z_AXIS, tiled=True)
-            my_z0 = jax.lax.axis_index(Z_AXIS) * self.local_dz
-            return self._bp(
-                volume, filtered, sins, coss, self.grid,
-                z_offset=z_offset + my_z0, roi_offset=roi_offset,
-            )
+        if backend == "xla":
+            if dz % self.n_dev:
+                raise ValueError(
+                    f"block_dz {dz} not divisible by mesh size {self.n_dev}")
+            self.local_dz = dz // self.n_dev
+            vol_spec = P(Z_AXIS, None, None)
+            self._state_shape = (dz, vol.dim_y, vol.dim_x)
+
+            def shard_step(volume, chunk, sin_phi, cos_phi, offs):
+                # volume: (local_dz, ny, nx); chunk: (C/n, n_col, n_row)
+                filtered = filter_projections(
+                    chunk * self._weights, self._spectrum, det.n_row)
+                filtered = jax.lax.all_gather(filtered, Z_AXIS, tiled=True)
+                sins = jax.lax.all_gather(sin_phi, Z_AXIS, tiled=True)
+                coss = jax.lax.all_gather(cos_phi, Z_AXIS, tiled=True)
+                my_z0 = jax.lax.axis_index(Z_AXIS) * self.local_dz
+                return backproject_chunk_xla(
+                    volume, filtered, sins, coss, self.grid,
+                    z_offset=offs[2] + my_z0,
+                    roi_offset=(offs[0], offs[1], 0),
+                )
+
+        elif backend == "pallas":
+            from ..ops import backprojection_pallas as bpp
+            self._bpp = bpp
+            ny = _round_up(vol.dim_y, self.n_dev)
+            self.local_ny = ny // self.n_dev
+            nxp = _round_up(vol.dim_x, 128)
+            nzp = _round_up(dz, 128)
+            vol_spec = P(Z_AXIS, None, None)   # shard axis 0 = y
+            self._state_shape = (ny, nxp, nzp)
+
+            def shard_step(volume, chunk, sin_phi, cos_phi, offs):
+                # volume: (local_ny, nxp, nzp)
+                filtered = filter_projections(
+                    chunk * self._weights, self._spectrum, det.n_row)
+                filtered = jax.lax.all_gather(filtered, Z_AXIS, tiled=True)
+                sins = jax.lax.all_gather(sin_phi, Z_AXIS, tiled=True)
+                coss = jax.lax.all_gather(cos_phi, Z_AXIS, tiled=True)
+                proj_t = bpp.pad_projections_t(filtered)
+                my_y0 = jax.lax.axis_index(Z_AXIS) * self.local_ny
+                shard_offs = jnp.stack(
+                    [offs[0], offs[1] + my_y0, offs[2]])
+                return bpp.backproject_chunk_pallas_yxz(
+                    volume, proj_t, sins, coss, self.grid, shard_offs,
+                    interpret=interpret)
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
 
         mapped = jax.shard_map(
             shard_step,
             mesh=self.mesh,
-            in_specs=(vol_spec, proj_spec, ang_spec, ang_spec, P(), P()),
+            in_specs=(vol_spec, proj_spec, ang_spec, ang_spec, P()),
             out_specs=vol_spec,
+            # pallas_call out_shapes carry no varying-mesh-axes info
+            check_vma=False,
         )
         self._step = jax.jit(mapped, donate_argnums=(0,))
-
         self._vol_sharding = NamedSharding(self.mesh, vol_spec)
         self._proj_sharding = NamedSharding(self.mesh, proj_spec)
         self._ang_sharding = NamedSharding(self.mesh, ang_spec)
 
     def init_block(self) -> jax.Array:
         return jax.device_put(
-            jnp.zeros((self.block_dz, self.vol.dim_y, self.vol.dim_x), jnp.float32),
-            self._vol_sharding,
-        )
+            jnp.zeros(self._state_shape, jnp.float32), self._vol_sharding)
 
     def accumulate(
         self,
@@ -132,7 +171,8 @@ class DistributedReconstructor:
     ) -> jax.Array:
         C = self.chunk_size
         n = len(angles_deg)
-        roi = jnp.asarray(roi_offset, jnp.int32)
+        rx1, ry1, rz1 = roi_offset
+        offs = jnp.asarray([rx1, ry1, rz1 + z_offset], jnp.int32)
         for i in range(0, n, C):
             chunk = np.asarray(projections[i:i + C], dtype=np.float32)
             ang = np.asarray(angles_deg[i:i + C], dtype=np.float32)
@@ -146,11 +186,18 @@ class DistributedReconstructor:
                 jax.device_put(chunk, self._proj_sharding),
                 jax.device_put(np.sin(phi), self._ang_sharding),
                 jax.device_put(np.cos(phi), self._ang_sharding),
-                jnp.int32(z_offset),
-                roi,
+                offs,
             )
         return volume
 
+    def finalize(self, volume: jax.Array) -> np.ndarray:
+        """Backend state -> (block_dz, ny, nx) ndarray."""
+        if self.backend == "pallas":
+            out = self._bpp.from_kernel_layout(
+                volume, (self.block_dz, self.vol.dim_y, self.vol.dim_x))
+            return np.asarray(out)
+        return np.asarray(volume)
+
     def reconstruct(self, projections, angles_deg, **kw) -> np.ndarray:
         out = self.accumulate(self.init_block(), projections, angles_deg, **kw)
-        return np.asarray(out)[: self.vol.dim_z]
+        return self.finalize(out)[: self.vol.dim_z]

@@ -72,3 +72,17 @@ def test_distributed_z_offset(setup):
         dist.accumulate(dist.init_block(), projs, angles, z_offset=z0)
     )
     np.testing.assert_allclose(out, full[z0:z0 + block_dz], rtol=1e-5, atol=1e-5)
+
+
+def test_distributed_pallas_matches_single(setup):
+    """Pallas backend distributed (y-sharded, interpret mode) == single."""
+    det, vol, projs, angles = setup
+    mesh = make_z_mesh()
+    dist = DistributedReconstructor(
+        det, vol, mesh=mesh, chunk_size=8, block_dz=vol.dim_z,
+        backend="pallas", interpret=True,
+    )
+    out = dist.reconstruct(projs[:8], angles[:8])
+    ref = reconstruct(det, vol, projs[:8], angles[:8],
+                      chunk_size=8, backend="xla")
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
