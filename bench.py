@@ -53,7 +53,7 @@ def main():
     volume = rec._step(volume, chunk_j, sin, cos, offs)
     volume.block_until_ready()
 
-    iters = max(3, int(np.ceil(2.0e11 / (vol.voxels * C))))
+    iters = min(100, max(3, int(np.ceil(2.0e10 / (vol.voxels * C)))))
     t0 = time.perf_counter()
     for _ in range(iters):
         volume = rec._step(volume, chunk_j, sin, cos, offs)
@@ -63,9 +63,11 @@ def main():
     updates = vol.voxels * C
     gups = updates / dt / 1e9
 
-    # roofline ceiling: volume read+write once per chunk => 8B / C per update
+    # speed-of-light reference (BASELINE.md): per-projection streaming
+    # bound HBM_BW / 8 bytes-per-update; >1.0 means chunking has pushed
+    # past what any one-projection-at-a-time implementation can reach.
     hbm_bw = float(os.environ.get("PARIS_HBM_GBPS", "819")) * 1e9  # v5e default
-    ceiling_gups = hbm_bw / (8.0 / C) / 1e9
+    ceiling_gups = hbm_bw / 8.0 / 1e9
     result = {
         "metric": f"backprojection_gvoxel_updates_per_s_{vol.dim_x}cube_{rec.backend}",
         "value": round(gups, 2),

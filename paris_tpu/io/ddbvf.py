@@ -83,6 +83,10 @@ def write_slices(path: str, volume: np.ndarray, first: int) -> None:
         )
     if first >= dim_z or first + dz > dim_z:
         raise DdbvfFormatError(f"slice range [{first}, {first + dz}) out of bounds")
+    from . import native
+    if native.available():
+        native.ddbvf_write(path, volume, first)
+        return
     payload = np.ascontiguousarray(volume, dtype="<f4").tobytes()
     offset = DATA_START + 4 * dim_x * dim_y * first
     fd = os.open(path, os.O_WRONLY)

@@ -95,6 +95,14 @@ def _parse_header(buf: bytes, path: str) -> HisHeader:
 
 def read_his(path: str) -> np.ndarray:
     """Read a HIS file -> (frames, height, width) float32 array."""
+    from . import native
+    if native.available():
+        try:
+            return native.his_read(path)
+        except native.NativeIoError as e:
+            if e.rc in (-2, -3):          # format errors -> HisFormatError
+                raise HisFormatError(str(e)) from e
+            raise
     with open(path, "rb") as f:
         data = f.read()
     header = _parse_header(data, path)
