@@ -1,0 +1,57 @@
+"""BASELINE config 1 gate: full-chain FDK vs the NumPy golden oracle.
+
+Shepp-Logan synthetic cone-beam scan, single block, CPU-runnable:
+device pipeline (weight+filter+backproject, chunked) must match the
+independent golden implementation within RMSE <= 1e-3 (BASELINE.md).
+"""
+
+import numpy as np
+import pytest
+
+from paris_tpu.geometry import DetectorGeometry, derive_volume_geometry
+from paris_tpu.golden import golden_fdk
+from paris_tpu.phantom import cone_beam_project, shepp_logan_volume
+from paris_tpu.pipeline import reconstruct
+
+
+@pytest.fixture(scope="module")
+def scan64():
+    det = DetectorGeometry(
+        n_row=64, n_col=64, l_px_row=2.0, l_px_col=2.0,
+        delta_s=0.0, delta_t=0.0, d_so=500.0, d_od=500.0, delta_phi=2.0,
+    )
+    vol = derive_volume_geometry(det)
+    angles = np.arange(180, dtype=np.float32) * det.delta_phi
+    scale = vol.dim_x * vol.l_vx_x / 2.0 * 0.9
+    projs = cone_beam_project(det, angles, scale_mm=scale)
+    return det, vol, projs, angles, scale
+
+
+def test_config1_xla_vs_golden_rmse(scan64):
+    det, vol, projs, angles, _ = scan64
+    golden = golden_fdk(projs, angles, det, vol)
+    ours = reconstruct(det, vol, projs, angles, chunk_size=16, backend="xla")
+    rmse = float(np.sqrt(np.mean((ours - golden) ** 2)))
+    scale = float(np.abs(golden).max())
+    assert rmse / scale <= 1e-3, f"relative RMSE {rmse/scale:.2e} > 1e-3"
+
+
+def test_config1_pallas_vs_golden_rmse(scan64):
+    det, vol, projs, angles, _ = scan64
+    golden = golden_fdk(projs, angles, det, vol)
+    ours = reconstruct(det, vol, projs, angles, chunk_size=16,
+                       backend="pallas", interpret=True)
+    rmse = float(np.sqrt(np.mean((ours - golden) ** 2)))
+    scale = float(np.abs(golden).max())
+    assert rmse / scale <= 1e-3, f"relative RMSE {rmse/scale:.2e} > 1e-3"
+
+
+def test_config1_reconstruction_resembles_phantom(scan64):
+    """Sanity: the reconstruction correlates strongly with the phantom
+    (absolute scale is reference-faithful, i.e. unnormalized)."""
+    det, vol, projs, angles, scale = scan64
+    ours = reconstruct(det, vol, projs, angles, chunk_size=16, backend="xla")
+    ph = shepp_logan_volume(vol, scale_mm=scale)
+    mid = vol.dim_z // 2
+    corr = np.corrcoef(ours[mid].ravel(), ph[mid].ravel())[0, 1]
+    assert corr > 0.85, f"corr {corr:.3f}"
