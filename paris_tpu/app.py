@@ -36,6 +36,7 @@ from .io.sink import VolumeSink
 from .io.source import ProjectionSource
 from .pipeline import Reconstructor
 from .utils.logging import StageTimers, fmt_duration
+from .utils.profiling import ThroughputMeter, trace
 
 logger = logging.getLogger("paris_tpu.app")
 
@@ -57,6 +58,7 @@ class ReconstructionJob:
     cache_projections: Optional[bool] = None   # None = auto by RAM
     resume: bool = False
     max_cache_bytes: int = 64 << 30
+    trace_dir: Optional[str] = None   # jax.profiler trace output
 
 
 def _roi_offset(job: ReconstructionJob) -> Tuple[int, int, int]:
@@ -119,7 +121,9 @@ def run_job(job: ReconstructionJob) -> str:
                     block.z0 + block.dim_z - 1)
         volume = rec.init_block()
         n_proj = 0
-        with timers.time("reconstruct"):
+        meter = ThroughputMeter(
+            info.dim_z_padded * vol_geo.dim_y * vol_geo.dim_x)
+        with timers.time("reconstruct"), trace(job.trace_dir):
             if cached is not None:
                 data, angs = cached
                 volume = rec.accumulate(
@@ -136,6 +140,7 @@ def run_job(job: ReconstructionJob) -> str:
                         volume, data, angs,
                         z_offset=block.z0, roi_offset=(rx1, ry1, rz1))
                     n_proj += len(chunk)
+                    meter.add(len(chunk))
                     if collect:
                         datas.append(data)
                         angles.append(angs)
@@ -149,7 +154,9 @@ def run_job(job: ReconstructionJob) -> str:
             out = rec.finalize(volume)[: block.dim_z]
             sink.write_block(block.index, out, block.z0)
         n_done += 1
-        logger.info("block %d done (%d projections)", block.index, n_proj)
+        pps, gups = meter.rates()
+        logger.info("block %d done (%d projections, %.1f proj/s, %.1f Gupd/s)",
+                    block.index, n_proj, pps, gups)
 
     total = time.perf_counter() - t_start
     timers.report(logger)

@@ -138,7 +138,7 @@ def _bp_kernel(
     # VMEM refs
     proj_ref, vol_in_ref, vol_out_ref,
     # scratch
-    q_ref, acc_ref,
+    q_ref, dq_ref, acc_ref,
     *,
     grid: BpGrid,
     C: int,
@@ -163,6 +163,7 @@ def _bp_kernel(
     rx1 = off_ref[0]
     ry1 = off_ref[1]
     z0g = off_ref[2]  # rz1 + z_offset combined by the wrapper
+    vlo = off_ref[3]  # detector-row band start (0 when unbanded)
 
     # per-x voxel geometry, shape (LANE, 1); cheap enough to recompute per step
     xi = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 1), 0) + xt * _LANE + rx1
@@ -204,11 +205,15 @@ def _bp_kernel(
             W = (jnp.where(band_cols == rel, one_m, 0.0)
                  + jnp.where(band_cols == rel + 1, fhw, 0.0))
             band_rows = proj_ref[c, pl.ds(b0, band), :]    # (band, VP)
-            q_ref[c] = jax.lax.dot_general(
+            Q = jax.lax.dot_general(
                 W, band_rows, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=mm_precision,
             )                                              # (LANE, VP)
+            q_ref[c] = Q
+            # forward difference along v: det = Q[v0] + fv * dQ[v0]
+            dq_ref[c, :, :VP - 1] = Q[:, 1:] - Q[:, :VP - 1]
+            dq_ref[c, :, VP - 1] = -Q[:, VP - 1]
 
     # ---- stage 2: v-interp + accumulate this (1, LANE, LANE) block -------
     zidx = (jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
@@ -223,22 +228,22 @@ def _bp_kernel(
         v0f = jnp.floor(v)
         fv = v - v0f
         valid = (v0f >= 0.0) & (v0f + 1.0 <= n_col - 1)
-        v0 = jnp.clip(v0f, -1.0, float(n_col - 1)).astype(jnp.int32)
+        v0 = jnp.clip(v0f, -1.0, float(n_col - 1)).astype(jnp.int32) - vlo
 
         def window_pass(kws):
-            """Gather both bilinear corners from windows [kw, kw+span_w)."""
+            """Gather base value and forward difference at v0."""
             a0 = jnp.zeros((_LANE, _LANE), jnp.float32)
             a1 = jnp.zeros((_LANE, _LANE), jnp.float32)
             for k in kws:
-                win = q_ref[c, :, k * _LANE:(k + 1) * _LANE]
                 rel0 = v0 - k * _LANE
+                idx = jnp.clip(rel0, 0, _LANE - 1)
+                inwin = (rel0 >= 0) & (rel0 < _LANE)
                 g0 = jnp.take_along_axis(
-                    win, jnp.clip(rel0, 0, _LANE - 1), axis=1)
-                a0 = jnp.where((rel0 >= 0) & (rel0 < _LANE), g0, a0)
-                rel1 = rel0 + 1
+                    q_ref[c, :, k * _LANE:(k + 1) * _LANE], idx, axis=1)
+                a0 = jnp.where(inwin, g0, a0)
                 g1 = jnp.take_along_axis(
-                    win, jnp.clip(rel1, 0, _LANE - 1), axis=1)
-                a1 = jnp.where((rel1 >= 0) & (rel1 < _LANE), g1, a1)
+                    dq_ref[c, :, k * _LANE:(k + 1) * _LANE], idx, axis=1)
+                a1 = jnp.where(inwin, g1, a1)
             return a0, a1
 
         if K <= span_w:
@@ -249,6 +254,7 @@ def _bp_kernel(
             # predicated branch executes, doing span_w gather pairs
             # instead of K.
             vmin = jnp.min(jnp.where(valid, v0, VP - 1))
+            vmin = jnp.clip(vmin, 0, VP - 1)
             kb = jnp.clip(vmin // _LANE, 0, K - span_w)
             for k0 in range(K - span_w + 1):
                 @pl.when(kb == k0)
@@ -259,8 +265,7 @@ def _bp_kernel(
             acc0 = acc_ref[0]
             acc1 = acc_ref[1]
 
-        total = total + jnp.where(
-            valid, weight * (acc0 * (1.0 - fv) + acc1 * fv), 0.0)
+        total = total + jnp.where(valid, weight * (acc0 + fv * acc1), 0.0)
     vol_out_ref[0] = total
 
 
@@ -270,12 +275,22 @@ def backproject_chunk_pallas_yxz(
     sin_phi: jnp.ndarray,           # (C,)
     cos_phi: jnp.ndarray,           # (C,)
     grid: BpGrid,
-    offsets,                        # int32 (3,): rx1, ry1, rz1+z_offset
+    offsets,                        # int32 (4,): rx1, ry1, rz1+z_offset, v_band_lo
     *,
     interpret: bool = False,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
-    """Accumulate C projections into a kernel-layout volume block."""
+    """Accumulate C projections into a kernel-layout volume block.
+
+    ``proj_t`` may be a detector-row BAND of the full projection
+    (columns [v_band_lo, v_band_lo + VP) of the transposed layout):
+    z-blocks only ever sample a band of detector rows
+    (geometry.detector_row_band), so callers slice before the call to
+    cut VMEM, matmul width, gather windows and ICI broadcast bytes.
+    """
+    offsets = jnp.asarray(offsets, jnp.int32)
+    if offsets.shape[0] == 3:
+        offsets = jnp.concatenate([offsets, jnp.zeros((1,), jnp.int32)])
     ny, nxp, nzp = volume_yxz.shape
     C, HP, VP = proj_t.shape
     assert nxp % _LANE == 0 and nzp % _LANE == 0, (nxp, nzp)
@@ -307,6 +322,7 @@ def backproject_chunk_pallas_yxz(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ny, nxp, nzp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((C, _LANE, VP), jnp.float32),
+                        pltpu.VMEM((C, _LANE, VP), jnp.float32),
                         pltpu.VMEM((2, _LANE, _LANE), jnp.float32)],
         input_output_aliases={4: 0},
         interpret=interpret,

@@ -61,6 +61,7 @@ class Reconstructor:
         block_shape: Optional[Tuple[int, int, int]] = None,  # (dz, ny, nx)
         backend: str = "auto",
         interpret: bool = False,
+        v_band_width: Optional[int] = None,   # detector-row band (pallas)
         device=None,
     ):
         self.det = det
@@ -86,12 +87,21 @@ class Reconstructor:
             dz, ny, nx = self.block_shape
             self._state_shape = (
                 ny, bpp._round_up(nx, 128), bpp._round_up(dz, 128))
+            vp_full = bpp._round_up(det.n_col, 128)
+            if v_band_width is None:
+                self._vp = vp_full
+            else:
+                self._vp = min(vp_full, bpp._round_up(v_band_width, 128))
 
             @functools.partial(jax.jit, donate_argnums=(0,))
             def _step(volume_yxz, chunk, sin_phi, cos_phi, offs):
                 filtered = preprocess_chunk(
                     chunk, self._weights, self._spectrum, det.n_row)
                 proj_t = bpp.pad_projections_t(filtered)
+                if self._vp < vp_full:
+                    proj_t = jax.lax.dynamic_slice(
+                        proj_t, (0, 0, offs[3]),
+                        (proj_t.shape[0], proj_t.shape[1], self._vp))
                 return bpp.backproject_chunk_pallas_yxz(
                     volume_yxz, proj_t, sin_phi, cos_phi, self.grid, offs,
                     interpret=interpret)
@@ -108,6 +118,7 @@ class Reconstructor:
                 )
 
             self._state_shape = self.block_shape
+            self._vp = 0
             self._step = _step
         else:
             raise ValueError(f"unknown backend {backend!r}")
@@ -132,6 +143,21 @@ class Reconstructor:
                 ang = np.pad(ang, (0, pad))
             yield chunk, ang
 
+    def _v_band_lo(self, z0_global: int) -> int:
+        """Detector-row band start for the block at global z0 (pallas)."""
+        if self.backend != "pallas" or self._vp >= \
+                self._bpp._round_up(self.det.n_col, 128):
+            return 0
+        from .geometry import detector_row_band
+        lo, hi = detector_row_band(
+            self.det, self.vol, z0_global, self.block_shape[0])
+        if hi - lo > self._vp:
+            raise ValueError(
+                f"v_band_width {self._vp} too narrow for block at z={z0_global}"
+                f" (needs {hi - lo} rows)")
+        vp_full = self._bpp._round_up(self.det.n_col, 128)
+        return max(0, min(lo, vp_full - self._vp))
+
     # -- public API ---------------------------------------------------------
 
     def init_block(self) -> jnp.ndarray:
@@ -149,7 +175,9 @@ class Reconstructor:
     ) -> jnp.ndarray:
         """Stream all projections through weight/filter/backproject."""
         rx1, ry1, rz1 = roi_offset
-        offs = jnp.asarray([rx1, ry1, rz1 + z_offset], jnp.int32)
+        offs = jnp.asarray(
+            [rx1, ry1, rz1 + z_offset, self._v_band_lo(rz1 + z_offset)],
+            jnp.int32)
         for chunk, ang in self._chunks(projections, angles_deg):
             phi = np.deg2rad(ang).astype(np.float32)
             volume = self._step(

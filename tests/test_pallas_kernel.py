@@ -95,3 +95,30 @@ def test_pallas_offset_detector(setup):
     out = np.asarray(backproject_chunk_pallas(
         vol0, jnp.asarray(projs), sin, cos, grid, interpret=True))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_v_band_matches_full():
+    """Row-banded projections (detector_row_band) == full-height result."""
+    from paris_tpu.pipeline import Reconstructor
+    det = DetectorGeometry(
+        n_row=96, n_col=160, l_px_row=2.0, l_px_col=2.0,
+        delta_s=0.0, delta_t=0.0, d_so=500.0, d_od=500.0, delta_phi=2.0,
+    )
+    vol = derive_volume_geometry(det)
+    rng = np.random.default_rng(11)
+    projs = rng.standard_normal((3, det.n_col, det.n_row)).astype(np.float32)
+    angles = np.asarray([0.0, 40.0, 200.0], np.float32)
+
+    full = Reconstructor(det, vol, chunk_size=3, backend="pallas",
+                         interpret=True)
+    out_full = full.run(projs, angles)
+
+    dz = 16
+    z0 = vol.dim_z // 2
+    banded = Reconstructor(
+        det, vol, chunk_size=3, backend="pallas", interpret=True,
+        block_shape=(dz, vol.dim_y, vol.dim_x), v_band_width=128)
+    assert banded._vp == 128 < banded._bpp._round_up(det.n_col, 128)
+    out_band = banded.run(projs, angles, z_offset=z0)
+    np.testing.assert_allclose(out_band, out_full[z0:z0 + dz],
+                               rtol=1e-4, atol=1e-4)
