@@ -12,6 +12,8 @@ when no I/O requested, src/main.cpp:132,179), plus TPU-era additions
 from __future__ import annotations
 
 import argparse
+import faulthandler
+import io
 import logging
 import sys
 from typing import List, Optional
@@ -61,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    # crash backtraces on SIGSEGV/SIGABRT (reference main.cpp:69-77 analog)
+    try:
+        faulthandler.enable()
+    except (io.UnsupportedOperation, AttributeError, ValueError):
+        pass  # no real stderr (e.g. under test capture)
     args = build_parser().parse_args(argv)
     setup_logging(args.verbose)
     print(BANNER, file=sys.stderr)

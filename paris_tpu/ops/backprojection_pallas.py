@@ -138,7 +138,7 @@ def _bp_kernel(
     # VMEM refs
     proj_ref, vol_in_ref, vol_out_ref,
     # scratch
-    q_ref, dq_ref, acc_ref,
+    q_ref, dq_ref, acc_ref, fw_ref,
     *,
     grid: BpGrid,
     C: int,
@@ -186,7 +186,11 @@ def _bp_kernel(
     def _stage1():
         band_cols = jax.lax.broadcasted_iota(jnp.int32, (_LANE, band), 1)
         for c in range(C):
-            safe, factor, _ = per_angle(c)
+            safe, factor, weight = per_angle(c)
+            # hoist per-x geometry for stage 2 (recomputing these
+            # (LANE,1) chains per z-tile costs as much as the tile math)
+            fw_ref[c, 0] = factor
+            fw_ref[c, 1] = weight
             sin_c, cos_c = sin_ref[c], cos_ref[c]
             t = -xs * sin_c + ys * cos_c
             h = (t * factor - grid.h_min) / det.l_px_row - 0.5
@@ -223,7 +227,8 @@ def _bp_kernel(
     K = VP // _LANE
     total = vol_in_ref[0]                                  # (LANE, LANE)
     for c in range(C):
-        _, factor, weight = per_angle(c)                   # (LANE, 1)
+        factor = fw_ref[c, 0]                              # (LANE, 1)
+        weight = fw_ref[c, 1]
         v = (zs * factor - grid.v_min) / det.l_px_col - 0.5    # (LANE, LANE)
         v0f = jnp.floor(v)
         fv = v - v0f
@@ -231,19 +236,30 @@ def _bp_kernel(
         v0 = jnp.clip(v0f, -1.0, float(n_col - 1)).astype(jnp.int32) - vlo
 
         def window_pass(kws):
-            """Gather base value and forward difference at v0."""
-            a0 = jnp.zeros((_LANE, _LANE), jnp.float32)
-            a1 = jnp.zeros((_LANE, _LANE), jnp.float32)
-            for k in kws:
-                rel0 = v0 - k * _LANE
-                idx = jnp.clip(rel0, 0, _LANE - 1)
-                inwin = (rel0 >= 0) & (rel0 < _LANE)
+            """Gather base value and forward difference at v0.
+
+            Windows are 128-aligned and consecutive, so the in-window
+            index is just (v0 - base) & 127 shared by every window, and
+            one bucket compare per extra window merges the results.
+            Out-of-range voxels land on garbage lanes and are killed by
+            the final ``valid`` mask.
+            """
+            base = kws[0] * _LANE
+            relv = v0 - base
+            idx = relv & (_LANE - 1)
+            bucket = relv >> 7                    # log2(_LANE)
+            a0 = jnp.take_along_axis(
+                q_ref[c, :, kws[0] * _LANE:(kws[0] + 1) * _LANE], idx, axis=1)
+            a1 = jnp.take_along_axis(
+                dq_ref[c, :, kws[0] * _LANE:(kws[0] + 1) * _LANE], idx, axis=1)
+            for j, k in enumerate(kws[1:], start=1):
+                m = bucket == j
                 g0 = jnp.take_along_axis(
                     q_ref[c, :, k * _LANE:(k + 1) * _LANE], idx, axis=1)
-                a0 = jnp.where(inwin, g0, a0)
+                a0 = jnp.where(m, g0, a0)
                 g1 = jnp.take_along_axis(
                     dq_ref[c, :, k * _LANE:(k + 1) * _LANE], idx, axis=1)
-                a1 = jnp.where(inwin, g1, a1)
+                a1 = jnp.where(m, g1, a1)
             return a0, a1
 
         if K <= span_w:
@@ -323,7 +339,8 @@ def backproject_chunk_pallas_yxz(
         out_shape=jax.ShapeDtypeStruct((ny, nxp, nzp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((C, _LANE, VP), jnp.float32),
                         pltpu.VMEM((C, _LANE, VP), jnp.float32),
-                        pltpu.VMEM((2, _LANE, _LANE), jnp.float32)],
+                        pltpu.VMEM((2, _LANE, _LANE), jnp.float32),
+                        pltpu.VMEM((C, 2, _LANE, 1), jnp.float32)],
         input_output_aliases={4: 0},
         interpret=interpret,
     )(sin_phi, cos_phi, offsets, proj_t, volume_yxz)

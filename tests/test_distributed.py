@@ -86,3 +86,38 @@ def test_distributed_pallas_matches_single(setup):
     ref = reconstruct(det, vol, projs[:8], angles[:8],
                       chunk_size=8, backend="xla")
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_local_block_slices_single_host(setup):
+    """multihost helpers degenerate correctly on one process."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from paris_tpu.parallel.multihost import local_block_slices, is_multihost
+    assert not is_multihost()
+    mesh = make_z_mesh()
+    vol = jax.device_put(
+        jnp.arange(16 * 4 * 4, dtype=jnp.float32).reshape(16, 4, 4),
+        NamedSharding(mesh, P("z", None, None)))
+    slabs = sorted(local_block_slices(vol))
+    assert [z for z, _ in slabs] == [0, 2, 4, 6, 8, 10, 12, 14]
+    full = np.concatenate([d for _, d in slabs])
+    np.testing.assert_array_equal(full, np.asarray(vol))
+
+
+def test_write_local_shards(setup, tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from paris_tpu.parallel.multihost import write_local_shards
+    from paris_tpu.io import ddbvf
+    mesh = make_z_mesh()
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((16, 4, 4)).astype(np.float32)
+    vol = jax.device_put(jnp.asarray(data),
+                         NamedSharding(mesh, P("z", None, None)))
+    p = str(tmp_path / "mh.ddbvf")
+    ddbvf.create(p, 4, 4, 30)
+    n = write_local_shards(p, vol, z_base=5)
+    assert n == 16
+    np.testing.assert_array_equal(ddbvf.read_slices(p, 5, 16), data)
