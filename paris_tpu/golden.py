@@ -123,10 +123,13 @@ def golden_fdk(
     dz: int | None = None,
     z_offset: int = 0,
     roi_offset=(0, 0, 0),
+    dy: int | None = None,
+    dx: int | None = None,
 ) -> np.ndarray:
-    """Full weight->filter->backproject chain; returns (dz, ny, nx)."""
+    """Full weight->filter->backproject chain; returns (dz, dy, dx)."""
     dz = vol.dim_z if dz is None else dz
-    ny, nx = vol.dim_y, vol.dim_x
+    ny = vol.dim_y if dy is None else dy
+    nx = vol.dim_x if dx is None else dx
     out = np.zeros((dz, ny, nx), dtype=np.float32)
     for p, phi in zip(projections, angles_deg):
         wf = golden_filter(golden_weight(p, det), det)

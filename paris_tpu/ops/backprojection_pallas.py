@@ -138,7 +138,7 @@ def _bp_kernel(
     # VMEM refs
     proj_ref, vol_in_ref, vol_out_ref,
     # scratch
-    q_ref, dq_ref, acc_ref, fw_ref,
+    q_ref, dq_ref, acc_ref,
     *,
     grid: BpGrid,
     C: int,
@@ -186,11 +186,7 @@ def _bp_kernel(
     def _stage1():
         band_cols = jax.lax.broadcasted_iota(jnp.int32, (_LANE, band), 1)
         for c in range(C):
-            safe, factor, weight = per_angle(c)
-            # hoist per-x geometry for stage 2 (recomputing these
-            # (LANE,1) chains per z-tile costs as much as the tile math)
-            fw_ref[c, 0] = factor
-            fw_ref[c, 1] = weight
+            safe, factor, _ = per_angle(c)
             sin_c, cos_c = sin_ref[c], cos_ref[c]
             t = -xs * sin_c + ys * cos_c
             h = (t * factor - grid.h_min) / det.l_px_row - 0.5
@@ -227,8 +223,7 @@ def _bp_kernel(
     K = VP // _LANE
     total = vol_in_ref[0]                                  # (LANE, LANE)
     for c in range(C):
-        factor = fw_ref[c, 0]                              # (LANE, 1)
-        weight = fw_ref[c, 1]
+        _, factor, weight = per_angle(c)                   # (LANE, 1)
         v = (zs * factor - grid.v_min) / det.l_px_col - 0.5    # (LANE, LANE)
         v0f = jnp.floor(v)
         fv = v - v0f
@@ -339,8 +334,7 @@ def backproject_chunk_pallas_yxz(
         out_shape=jax.ShapeDtypeStruct((ny, nxp, nzp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((C, _LANE, VP), jnp.float32),
                         pltpu.VMEM((C, _LANE, VP), jnp.float32),
-                        pltpu.VMEM((2, _LANE, _LANE), jnp.float32),
-                        pltpu.VMEM((C, 2, _LANE, 1), jnp.float32)],
+                        pltpu.VMEM((2, _LANE, _LANE), jnp.float32)],
         input_output_aliases={4: 0},
         interpret=interpret,
     )(sin_phi, cos_phi, offsets, proj_t, volume_yxz)
