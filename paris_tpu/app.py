@@ -93,11 +93,41 @@ def run_job(job: ReconstructionJob) -> str:
     sink = VolumeSink(job.output_path, job.prefix, vol_geo.dim_x,
                       vol_geo.dim_y, vol_geo.dim_z, resume=job.resume)
 
+    # detector-row banding: blocks only sample a band of detector rows;
+    # use the widest band over all blocks so one compiled program serves
+    # every block (pallas backend only; ignored by xla)
+    v_band = None
+    if info.num > 1:
+        from .geometry import detector_row_band
+        rz1 = job.roi.z1 if job.roi else 0
+        widths = [
+            (lambda lo_hi: lo_hi[1] - lo_hi[0])(
+                detector_row_band(job.det, full_geo, b.z0 + rz1,
+                                  b.dim_z_padded))
+            for b in info.blocks
+        ]
+        v_band = max(widths)
+        if v_band >= job.det.n_col:
+            v_band = None
+        else:
+            logger.info("detector row band: %d of %d rows per block",
+                        v_band, job.det.n_col)
+
+    from .pipeline import max_chunk_size
+    chunk_size = job.chunk_size
+    import jax as _jax
+    if job.backend in ("pallas", "auto") and _jax.default_backend() == "tpu":
+        cmax = max_chunk_size(job.det, v_band)
+        if chunk_size > cmax:
+            logger.info("clamping chunk size %d -> %d (VMEM budget)",
+                        chunk_size, cmax)
+            chunk_size = cmax
     rec = Reconstructor(
-        job.det, full_geo, chunk_size=job.chunk_size, backend=job.backend,
+        job.det, full_geo, chunk_size=chunk_size, backend=job.backend,
         block_shape=(info.dim_z_padded, vol_geo.dim_y, vol_geo.dim_x),
+        v_band_width=v_band,
     )
-    logger.info("backend: %s, chunk size %d", rec.backend, job.chunk_size)
+    logger.info("backend: %s, chunk size %d", rec.backend, chunk_size)
 
     def new_source() -> ProjectionSource:
         return ProjectionSource(
@@ -133,7 +163,7 @@ def run_job(job: ReconstructionJob) -> str:
             else:
                 collect = cache is not False and info.num > 1
                 datas, angles = [], []
-                for chunk in new_source().iter_chunks(job.chunk_size):
+                for chunk in new_source().iter_chunks(rec.chunk_size):
                     data = np.stack([p.data for p in chunk])
                     angs = np.asarray([p.phi for p in chunk], np.float32)
                     volume = rec.accumulate(

@@ -44,6 +44,17 @@ def _auto_backend() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def max_chunk_size(det: DetectorGeometry, v_band_width=None,
+                   budget_bytes: int = 12 << 20) -> int:
+    """Largest pallas chunk fitting the VMEM budget for this detector."""
+    def rup(x, m):
+        return -(-x // m) * m
+    vp = rup(det.n_col, 128) if v_band_width is None else \
+        min(rup(det.n_col, 128), rup(v_band_width, 128))
+    hp = rup(det.n_row, 8)
+    return max(1, budget_bytes // (4 * vp * (hp + 2 * 128)))
+
+
 class Reconstructor:
     """Compiled single-device FDK step for one (det, vol) geometry.
 
@@ -92,6 +103,17 @@ class Reconstructor:
                 self._vp = vp_full
             else:
                 self._vp = min(vp_full, bpp._round_up(v_band_width, 128))
+            # VMEM budget: banded projections + Q/dQ scratch must fit
+            # alongside the volume block and pipeline buffers (~16MB/core)
+            hp = bpp._round_up(det.n_row, 8)
+            vmem_est = 4 * self.chunk_size * self._vp * (hp + 2 * 128)
+            budget = 12 << 20
+            if vmem_est > budget:
+                max_c = max(1, budget // (4 * self._vp * (hp + 2 * 128)))
+                raise ValueError(
+                    f"chunk_size {self.chunk_size} needs ~{vmem_est >> 20}MB "
+                    f"VMEM for a {hp}x{self._vp} projection band; reduce "
+                    f"chunk_size to <= {max_c} or narrow the detector band")
 
             @functools.partial(jax.jit, donate_argnums=(0,))
             def _step(volume_yxz, chunk, sin_phi, cos_phi, offs):
