@@ -66,6 +66,7 @@ class DistributedReconstructor:
         block_dz: Optional[int] = None,
         backend: str = "auto",
         interpret: bool = False,
+        v_band_width=None,
     ):
         self.det = det
         self.vol = vol
@@ -101,6 +102,7 @@ class DistributedReconstructor:
             self.local_dz = dz // self.n_dev
             vol_spec = P(Z_AXIS, None, None)
             self._state_shape = (dz, vol.dim_y, vol.dim_x)
+            self._vp = 0
 
             def shard_step(volume, chunk, sin_phi, cos_phi, offs):
                 # volume: (local_dz, ny, nx); chunk: (C/n, n_col, n_row)
@@ -125,18 +127,27 @@ class DistributedReconstructor:
             nzp = _round_up(dz, 128)
             vol_spec = P(Z_AXIS, None, None)   # shard axis 0 = y
             self._state_shape = (ny, nxp, nzp)
+            vp_full = _round_up(det.n_col, 128)
+            self._vp = vp_full if v_band_width is None else \
+                min(vp_full, _round_up(v_band_width, 128))
 
             def shard_step(volume, chunk, sin_phi, cos_phi, offs):
                 # volume: (local_ny, nxp, nzp)
                 filtered = filter_projections(
                     chunk * self._weights, self._spectrum, det.n_row)
-                filtered = jax.lax.all_gather(filtered, Z_AXIS, tiled=True)
+                proj_t = bpp.pad_projections_t(filtered)
+                if self._vp < vp_full:
+                    # band BEFORE the all-gather: the ICI broadcast only
+                    # carries the detector rows this z-block can sample
+                    proj_t = jax.lax.dynamic_slice(
+                        proj_t, (0, 0, offs[3]),
+                        (proj_t.shape[0], proj_t.shape[1], self._vp))
+                proj_t = jax.lax.all_gather(proj_t, Z_AXIS, tiled=True)
                 sins = jax.lax.all_gather(sin_phi, Z_AXIS, tiled=True)
                 coss = jax.lax.all_gather(cos_phi, Z_AXIS, tiled=True)
-                proj_t = bpp.pad_projections_t(filtered)
                 my_y0 = jax.lax.axis_index(Z_AXIS) * self.local_ny
                 shard_offs = jnp.stack(
-                    [offs[0], offs[1] + my_y0, offs[2]])
+                    [offs[0], offs[1] + my_y0, offs[2], offs[3]])
                 return bpp.backproject_chunk_pallas_yxz(
                     volume, proj_t, sins, coss, self.grid, shard_offs,
                     interpret=interpret)
@@ -156,6 +167,18 @@ class DistributedReconstructor:
         self._proj_sharding = NamedSharding(self.mesh, proj_spec)
         self._ang_sharding = NamedSharding(self.mesh, ang_spec)
 
+    def _v_band_lo(self, z0_global: int) -> int:
+        vp_full = _round_up(self.det.n_col, 128)
+        if self.backend != "pallas" or not self._vp or self._vp >= vp_full:
+            return 0
+        from ..geometry import detector_row_band
+        lo, hi = detector_row_band(self.det, self.vol, z0_global, self.block_dz)
+        if hi - lo > self._vp:
+            raise ValueError(
+                f"v_band_width {self._vp} too narrow for block at "
+                f"z={z0_global} (needs {hi - lo} rows)")
+        return max(0, min(lo, vp_full - self._vp))
+
     def init_block(self) -> jax.Array:
         return jax.device_put(
             jnp.zeros(self._state_shape, jnp.float32), self._vol_sharding)
@@ -172,7 +195,9 @@ class DistributedReconstructor:
         C = self.chunk_size
         n = len(angles_deg)
         rx1, ry1, rz1 = roi_offset
-        offs = jnp.asarray([rx1, ry1, rz1 + z_offset], jnp.int32)
+        offs = jnp.asarray(
+            [rx1, ry1, rz1 + z_offset, self._v_band_lo(rz1 + z_offset)],
+            jnp.int32)
         for i in range(0, n, C):
             chunk = np.asarray(projections[i:i + C], dtype=np.float32)
             ang = np.asarray(angles_deg[i:i + C], dtype=np.float32)

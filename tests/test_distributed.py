@@ -121,3 +121,29 @@ def test_write_local_shards(setup, tmp_path):
     n = write_local_shards(p, vol, z_base=5)
     assert n == 16
     np.testing.assert_array_equal(ddbvf.read_slices(p, 5, 16), data)
+
+
+def test_distributed_pallas_banded(setup):
+    """Banded distributed pallas == full, on a z-sub-block."""
+    det = DetectorGeometry(
+        n_row=64, n_col=160, l_px_row=2.0, l_px_col=2.0,
+        delta_s=0.0, delta_t=0.0, d_so=400.0, d_od=400.0, delta_phi=9.0,
+    )
+    vol = derive_volume_geometry(det)
+    rng = np.random.default_rng(4)
+    projs = rng.standard_normal((8, det.n_col, det.n_row)).astype(np.float32)
+    angles = np.arange(8, dtype=np.float32) * 9.0
+    mesh = make_z_mesh()
+
+    full = reconstruct(det, vol, projs, angles, chunk_size=8, backend="xla")
+
+    dz = 16
+    z0 = vol.dim_z // 2
+    dist = DistributedReconstructor(
+        det, vol, mesh=mesh, chunk_size=8, block_dz=dz,
+        backend="pallas", interpret=True, v_band_width=128,
+    )
+    assert dist._vp == 128
+    out = dist.finalize(
+        dist.accumulate(dist.init_block(), projs, angles, z_offset=z0))
+    np.testing.assert_allclose(out, full[z0:z0 + dz], rtol=1e-4, atol=1e-4)
