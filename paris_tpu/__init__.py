@@ -7,6 +7,11 @@ backprojection over z-subvolumes, ddbvf output — single chip to
 multi-host TPU pod slices.
 """
 
+from .exceptions import (
+    ParisError,
+    StageConstructionError,
+    StageRuntimeError,
+)
 from .geometry import (
     DetectorGeometry,
     VolumeGeometry,

@@ -28,6 +28,9 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
+from .exceptions import (
+    ParisError, StageConstructionError, StageRuntimeError,
+)
 from .geometry import (
     DetectorGeometry, RegionOfInterest, VolumeGeometry,
     SubvolumeInfo, apply_roi, derive_volume_geometry, plan_z_blocks,
@@ -68,11 +71,28 @@ def _roi_offset(job: ReconstructionJob) -> Tuple[int, int, int]:
 
 
 def run_job(job: ReconstructionJob) -> str:
-    """Run a full reconstruction; returns the output ddbvf path."""
+    """Run a full reconstruction; returns the output ddbvf path.
+
+    Raises ``StageConstructionError`` if the pipeline cannot be built
+    (bad geometry/paths/backend) and ``StageRuntimeError`` if it fails
+    mid-stream — the reference's two exception tiers (exception.h:31-41).
+    """
+    try:
+        return _run_job(job)
+    except (ParisError, KeyboardInterrupt):
+        raise
+    except (OSError, ValueError) as e:
+        raise StageRuntimeError(f"reconstruction failed: {e}") from e
+
+
+def _run_job(job: ReconstructionJob) -> str:
     t_start = time.perf_counter()
     timers = StageTimers()
 
-    full_geo = derive_volume_geometry(job.det)
+    try:
+        full_geo = derive_volume_geometry(job.det)
+    except ValueError as e:
+        raise StageConstructionError(str(e)) from e
     logger.info("volume [vx]: %d x %d x %d, voxel %.4f mm",
                 full_geo.dim_x, full_geo.dim_y, full_geo.dim_z,
                 full_geo.l_vx_x)
@@ -90,8 +110,11 @@ def run_job(job: ReconstructionJob) -> str:
     logger.info("z-split: %d block(s) of %d slices (padded)",
                 info.num, info.dim_z_padded)
 
-    sink = VolumeSink(job.output_path, job.prefix, vol_geo.dim_x,
-                      vol_geo.dim_y, vol_geo.dim_z, resume=job.resume)
+    try:
+        sink = VolumeSink(job.output_path, job.prefix, vol_geo.dim_x,
+                          vol_geo.dim_y, vol_geo.dim_z, resume=job.resume)
+    except (OSError, ValueError) as e:
+        raise StageConstructionError(f"cannot open sink: {e}") from e
 
     # detector-row banding: blocks only sample a band of detector rows;
     # use the widest band over all blocks so one compiled program serves

@@ -19,6 +19,7 @@ import sys
 from typing import List, Optional
 
 from . import __version__
+from .exceptions import ParisError
 from .geometry import RegionOfInterest, derive_volume_geometry, apply_roi
 from .io.geometry_file import geometry_format_help, load_geometry_file
 from .utils.logging import setup_logging
@@ -142,6 +143,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             run_job_distributed(job)
         else:
             run_job(job)
+    except ParisError as e:
+        # two-tier fatal handling, reference main.cpp:181-192
+        logger.critical("%s: %s", type(e).__name__, e)
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     except (OSError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

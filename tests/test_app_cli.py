@@ -162,3 +162,28 @@ def test_cli_roi_reconstruction(scan, tmp_path):
                        chunk_size=16, backend="xla")
     np.testing.assert_allclose(got, full[4:24, 12:32, 10:30],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_two_tier_exceptions(tmp_path):
+    """Construction vs runtime failures map to the reference's two tiers
+    (src/exception.h:31-41, src/main.cpp:181-192)."""
+    import pytest
+    from paris_tpu import (ParisError, StageConstructionError,
+                           StageRuntimeError)
+    from paris_tpu.app import ReconstructionJob, run_job
+    from paris_tpu.geometry import DetectorGeometry
+
+    det = DetectorGeometry(32, 32, 2.0, 2.0, 0.0, 0.0, 500.0, 500.0, 3.0)
+    # unwritable sink path -> construction tier
+    job = ReconstructionJob(det=det, input_path=str(tmp_path),
+                            output_path="/proc/nope/denied", backend="xla")
+    with pytest.raises(StageConstructionError):
+        run_job(job)
+    # a failure mid-stream (unreadable input dir) -> runtime tier
+    job2 = ReconstructionJob(det=det, input_path=str(tmp_path / "missing"),
+                             output_path=str(tmp_path), backend="xla")
+    with pytest.raises(ParisError):
+        run_job(job2)
+    # both are catchable via the stdlib bases too
+    assert issubclass(StageConstructionError, ValueError)
+    assert issubclass(StageRuntimeError, RuntimeError)
