@@ -7,29 +7,41 @@ per-element gather.  The CUDA kernel's texture fetch is decomposed into
 two structured interpolations:
 
   stage 1 — h-interpolation as a BANDED ONE-HOT MATMUL on the MXU.
-    For one y-row and one 128-voxel x-tile, the detector column
-    coordinate h(x) spans a narrow band of the detector (bounded by
-    |dh/dx| <= span_bound, computed from the geometry at trace time).
-    The projection chunk is kept transposed in VMEM as P_T[h, v]; a
-    dynamic sublane slice picks the 256-row band, and a (128 x BAND)
-    one-hot interpolation matrix (2 nonzeros per row: 1-fh, fh)
-    multiplies it:
+    For one y-row and one x-tile of ``x_tile`` voxels, the detector
+    column coordinate h(x) spans a narrow band of the detector (bounded
+    by |dh/dx| <= span_bound, computed from the geometry at trace
+    time).  The projection chunk is kept transposed in VMEM as
+    P_T[h, v]; a dynamic sublane slice picks the band, and an
+    (x_tile x BAND) one-hot interpolation matrix (2 nonzeros per row:
+    1-fh, fh) multiplies it:
         Q[x, v] = sum_h W[x, h] * P_T[band_h, v]
     Q is cached in VMEM scratch and reused across all z-tiles of the
     (y, x-tile) column.  Detector h-border-zero falls out for free:
     out-of-range h0 rows have no one-hot match and yield zero.
+    Narrow x-tiles (default 64) keep the band within one 128-wide MXU
+    contraction tile, halving matmul passes vs 128-voxel tiles.
 
   stage 2 — v-interpolation as WINDOWED LANE GATHERS on the VPU.
-    For an (8 x, 128 z) output tile, v(x, z) = z*factor(x) indexes Q's
-    v axis.  TPU supports per-lane gather only within a 128-wide
-    window (jnp.take_along_axis axis=1 on (8,128) tables), so Q is
+    For an (x_tile x, 128 z) output tile, v(x, z) = z*factor(x) indexes
+    Q's v axis.  TPU supports per-lane gather only within a 128-wide
+    window (jnp.take_along_axis axis=1 on tall (n,128) tables), so Q is
     scanned in static 128-wide windows; each window contributes via
-    gather + in-window select.  Both bilinear corners (v0, v0+1) are
-    gathered; border-zero v handling is an explicit mask.
+    gather + in-window select.  The base value Q[v0] and forward
+    difference dQ[v0] are gathered (border-zero v handling is an
+    explicit mask), giving det = Q[v0] + fv*dQ[v0].  Two speed paths:
+      * runtime window fast path — the static window count ``span_w``
+        is a worst-case bound; most tiles touch only 2 consecutive
+        windows, detected at runtime and dispatched to a cheaper
+        predicated branch;
+      * packed Q/dQ (``pack_qdq``) — Q and dQ are round-to-nearest
+        bf16-packed into one int32 lane in stage 1, halving the gather
+        count; numerically ~4e-3 per sample, which averages out over
+        hundreds of angles (use with DEFAULT matmul precision; the
+        exact mode keeps two f32 gathers).
 
 The volume block lives in (y, x, z) layout — z minor (lanes), x on
 sublanes.  The grid is (y, x-tile, z-tile) with z-tile innermost, so
-each (1, 128, 128) volume block is read+written once per chunk of C
+each (1, x_tile, 128) volume block is read+written once per chunk of C
 angles: chunking amortizes volume HBM traffic below the roofline bound
 (BASELINE.md).
 """
@@ -38,7 +50,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -60,7 +72,8 @@ __all__ = [
 
 _LANE = 128
 _SUB = 8
-_BAND = 256
+_BAND = 256          # max supported h-band (VMEM / W-matrix width cap)
+_XTILE = 64          # default x-tile (sublane) size, band fits one MXU tile
 
 
 def _round_up(x: int, m: int) -> int:
@@ -77,11 +90,19 @@ def _span_bound_px(grid: BpGrid) -> float:
                                                   (abs(grid.d_so) - r))
 
 
-def pallas_supported(grid: BpGrid) -> bool:
+def _h_band_px(grid: BpGrid, x_tile: int) -> int:
+    """Tight h-interpolation band for one x-tile (sublane-aligned).
+
+    margin: bilinear corner (+2), sublane quantization of the band
+    start (+8), floor slack (+2).
+    """
+    need = (x_tile - 1) * _span_bound_px(grid) + 12.0
+    return _round_up(int(math.ceil(need)), _SUB)
+
+
+def pallas_supported(grid: BpGrid, x_tile: int = _XTILE) -> bool:
     """The banded h-interp requires the x-tile's h span to fit the band."""
-    # margin: bilinear corner (+2), sublane quantization of the band
-    # start (+8), floor slack (+2)
-    return (_LANE - 1) * _span_bound_px(grid) + 12.0 <= _BAND
+    return _h_band_px(grid, x_tile) <= _BAND
 
 
 def to_kernel_layout(vol_zyx: jnp.ndarray) -> jnp.ndarray:
@@ -115,21 +136,44 @@ def _v_stride_bound(grid: BpGrid) -> float:
     return f_max * vol.l_vx_z / det.l_px_col
 
 
-def _v_xspread_bound(grid: BpGrid) -> float:
-    """Trace-time bound on the v spread across one 128-voxel x tile."""
+def _v_xspread_bound(grid: BpGrid, x_tile: int = _XTILE) -> float:
+    """Trace-time bound on the v spread across one x tile."""
     det, vol = grid.det, grid.vol
     r = (vol.dim_x / 2.0) * vol.l_vx_x * math.sqrt(2.0)
     r = min(r, abs(grid.d_so) * 0.95)
     f_max = grid.d_sd / (abs(grid.d_so) - r)
     z_max_mm = (vol.dim_z / 2.0 + _LANE) * vol.l_vx_z
     dfdx = vol.l_vx_x * f_max * f_max / grid.d_sd
-    return z_max_mm * _LANE * dfdx / det.l_px_col
+    return z_max_mm * x_tile * dfdx / det.l_px_col
 
 
-def _v_span_windows(grid: BpGrid) -> int:
+def _v_span_windows(grid: BpGrid, x_tile: int = _XTILE) -> int:
     """Number of consecutive 128-wide v windows covering one (x,z) tile."""
-    span = (_LANE - 1) * _v_stride_bound(grid) + _v_xspread_bound(grid) + 4.0
+    span = ((_LANE - 1) * _v_stride_bound(grid)
+            + _v_xspread_bound(grid, x_tile) + 4.0)
     return 1 + int(math.ceil(span / _LANE))
+
+
+def _pack_bf16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Round-to-nearest bf16-pack two f32 arrays into one int32 lane.
+
+    ``hi`` occupies the top 16 bits (so unpacking it is a single mask —
+    bf16 is the top half of f32), ``lo`` the bottom 16.
+    """
+    hi_i = jax.lax.bitcast_convert_type(hi, jnp.int32)
+    lo_i = jax.lax.bitcast_convert_type(lo, jnp.int32)
+    bias = jnp.int32(0x8000)
+    hi_i = jnp.bitwise_and(hi_i + bias, jnp.int32(-65536))
+    lo_i = jax.lax.shift_right_logical(lo_i + bias, 16)
+    return jnp.bitwise_or(hi_i, lo_i)
+
+
+def _unpack_bf16_pair(p: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    hi = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(p, jnp.int32(-65536)), jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(p, 16), jnp.float32)
+    return hi, lo
 
 
 def _bp_kernel(
@@ -137,9 +181,8 @@ def _bp_kernel(
     sin_ref, cos_ref, off_ref,
     # VMEM refs
     proj_ref, vol_in_ref, vol_out_ref,
-    # scratch
-    q_ref, dq_ref, acc_ref,
-    *,
+    # scratch (q_ref [, dq_ref], acc_ref)
+    *refs,
     grid: BpGrid,
     C: int,
     HP: int,
@@ -147,11 +190,19 @@ def _bp_kernel(
     band: int,
     mm_precision,
     span_w: int,
+    x_tile: int,
+    pack: bool,
 ):
+    if pack:
+        q_ref, acc_ref = refs
+        dq_ref = None
+    else:
+        q_ref, dq_ref, acc_ref = refs
     det, vol = grid.det, grid.vol
     y = pl.program_id(0)
     xt = pl.program_id(1)
     zt = pl.program_id(2)
+    XT = x_tile
 
     l_vx_x, l_vx_y, l_vx_z = vol.l_vx_x, vol.l_vx_y, vol.l_vx_z
     off_x = -(vol.dim_x * l_vx_x) / 2.0 + l_vx_x / 2.0
@@ -165,14 +216,14 @@ def _bp_kernel(
     z0g = off_ref[2]  # rz1 + z_offset combined by the wrapper
     vlo = off_ref[3]  # detector-row band start (0 when unbanded)
 
-    # per-x voxel geometry, shape (LANE, 1); cheap enough to recompute per step
-    xi = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 1), 0) + xt * _LANE + rx1
+    # per-x voxel geometry, shape (XT, 1); cheap enough to recompute per step
+    xi = jax.lax.broadcasted_iota(jnp.int32, (XT, 1), 0) + xt * XT + rx1
     xs = xi.astype(jnp.float32) * l_vx_x + off_x
     ys = (y + ry1).astype(jnp.float32) * l_vx_y + off_y
 
     def per_angle(c):
         sin_c, cos_c = sin_ref[c], cos_ref[c]
-        s = xs * cos_c + ys * sin_c                      # (LANE, 1)
+        s = xs * cos_c + ys * sin_c                      # (XT, 1)
         t = -xs * sin_c + ys * cos_c
         denom = s + d_so
         safe = denom > 1e-3 * abs(d_so)
@@ -184,7 +235,7 @@ def _bp_kernel(
     # ---- stage 1 (once per (y, x-tile)): fill the Q scratch --------------
     @pl.when(zt == 0)
     def _stage1():
-        band_cols = jax.lax.broadcasted_iota(jnp.int32, (_LANE, band), 1)
+        band_cols = jax.lax.broadcasted_iota(jnp.int32, (XT, band), 1)
         for c in range(C):
             safe, factor, _ = per_angle(c)
             sin_c, cos_c = sin_ref[c], cos_ref[c]
@@ -199,7 +250,7 @@ def _bp_kernel(
                           0, max(0, HP - band))
             # sublane-aligned window start (Mosaic requires multiples of 8)
             b0 = pl.multiple_of((b0 // _SUB) * _SUB, _SUB)
-            rel = h0 - b0                                 # (LANE, 1)
+            rel = h0 - b0                                 # (XT, 1)
             fhw = jnp.where(valid_h, fh, 0.0)
             one_m = jnp.where(valid_h, 1.0 - fh, 0.0)
             W = (jnp.where(band_cols == rel, one_m, 0.0)
@@ -209,40 +260,55 @@ def _bp_kernel(
                 W, band_rows, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=mm_precision,
-            )                                              # (LANE, VP)
-            q_ref[c] = Q
+            )                                              # (XT, VP)
             # forward difference along v: det = Q[v0] + fv * dQ[v0]
-            dq_ref[c, :, :VP - 1] = Q[:, 1:] - Q[:, :VP - 1]
-            dq_ref[c, :, VP - 1] = -Q[:, VP - 1]
+            if pack:
+                D = (jnp.concatenate(
+                    [Q[:, 1:], jnp.zeros((XT, 1), jnp.float32)], axis=1) - Q)
+                q_ref[c] = _pack_bf16_pair(Q, D)
+            else:
+                q_ref[c] = Q
+                dq_ref[c, :, :VP - 1] = Q[:, 1:] - Q[:, :VP - 1]
+                dq_ref[c, :, VP - 1] = -Q[:, VP - 1]
 
-    # ---- stage 2: v-interp + accumulate this (1, LANE, LANE) block -------
+    # ---- stage 2: v-interp + accumulate this (1, XT, LANE) block ---------
     zidx = (jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
             + zt * _LANE + z0g)
     zs = zidx.astype(jnp.float32) * l_vx_z + off_z         # (1, LANE)
 
     K = VP // _LANE
-    total = vol_in_ref[0]                                  # (LANE, LANE)
+    total = vol_in_ref[0]                                  # (XT, LANE)
     for c in range(C):
-        _, factor, weight = per_angle(c)                   # (LANE, 1)
-        v = (zs * factor - grid.v_min) / det.l_px_col - 0.5    # (LANE, LANE)
+        _, factor, weight = per_angle(c)                   # (XT, 1)
+        v = (zs * factor - grid.v_min) / det.l_px_col - 0.5    # (XT, LANE)
         v0f = jnp.floor(v)
         fv = v - v0f
         valid = (v0f >= 0.0) & (v0f + 1.0 <= n_col - 1)
         v0 = jnp.clip(v0f, -1.0, float(n_col - 1)).astype(jnp.int32) - vlo
 
-        def window_pass(kws):
+        def gather_windows(kws):
             """Gather base value and forward difference at v0.
 
             Windows are 128-aligned and consecutive, so the in-window
             index is just (v0 - base) & 127 shared by every window, and
             one bucket compare per extra window merges the results.
             Out-of-range voxels land on garbage lanes and are killed by
-            the final ``valid`` mask.
+            the final ``valid`` mask.  Returns packed int32 when
+            ``pack`` else an (a0, a1) f32 pair.
             """
             base = kws[0] * _LANE
             relv = v0 - base
             idx = relv & (_LANE - 1)
             bucket = relv >> 7                    # log2(_LANE)
+            if pack:
+                a = jnp.take_along_axis(
+                    q_ref[c, :, kws[0] * _LANE:(kws[0] + 1) * _LANE],
+                    idx, axis=1)
+                for j, k in enumerate(kws[1:], start=1):
+                    g = jnp.take_along_axis(
+                        q_ref[c, :, k * _LANE:(k + 1) * _LANE], idx, axis=1)
+                    a = jnp.where(bucket == j, g, a)
+                return a
             a0 = jnp.take_along_axis(
                 q_ref[c, :, kws[0] * _LANE:(kws[0] + 1) * _LANE], idx, axis=1)
             a1 = jnp.take_along_axis(
@@ -257,26 +323,60 @@ def _bp_kernel(
                 a1 = jnp.where(m, g1, a1)
             return a0, a1
 
-        if K <= span_w:
-            acc0, acc1 = window_pass(range(K))
-        else:
-            # only span_w consecutive windows can be touched by this tile:
-            # branch on the (runtime) lowest valid window index — one
-            # predicated branch executes, doing span_w gather pairs
-            # instead of K.
-            vmin = jnp.min(jnp.where(valid, v0, VP - 1))
-            vmin = jnp.clip(vmin, 0, VP - 1)
-            kb = jnp.clip(vmin // _LANE, 0, K - span_w)
-            for k0 in range(K - span_w + 1):
-                @pl.when(kb == k0)
-                def _(k0=k0):
-                    a0, a1 = window_pass(range(k0, k0 + span_w))
-                    acc_ref[0] = a0
-                    acc_ref[1] = a1
-            acc0 = acc_ref[0]
-            acc1 = acc_ref[1]
+        def store_acc(res):
+            if pack:
+                acc_ref[0] = res
+            else:
+                acc_ref[0], acc_ref[1] = res
 
-        total = total + jnp.where(valid, weight * (acc0 + fv * acc1), 0.0)
+        def load_acc():
+            if pack:
+                return acc_ref[0]
+            return acc_ref[0], acc_ref[1]
+
+        if K <= max(span_w, 2):
+            res = gather_windows(range(K))
+        else:
+            # Only span_w consecutive windows can be touched by this
+            # tile (static bound); branch on the runtime lowest valid
+            # window so one predicated branch executes.  Most tiles
+            # touch just 2 consecutive windows — detect that at runtime
+            # and dispatch to the cheaper 2-window branches.
+            vmin = jnp.clip(jnp.min(jnp.where(valid, v0, VP - 1)), 0, VP - 1)
+            vmax = jnp.clip(jnp.max(jnp.where(valid, v0, 0)), 0, VP - 2)
+            kspan = (vmax >> 7) - (vmin >> 7) + 1
+
+            if span_w > 2:
+                kb2 = jnp.clip(vmin >> 7, 0, K - 2)
+
+                @pl.when(kspan <= 2)
+                def _fast2():
+                    for k0 in range(K - 1):
+                        @pl.when(kb2 == k0)
+                        def _(k0=k0):
+                            store_acc(gather_windows(range(k0, k0 + 2)))
+
+                kb = jnp.clip(vmin >> 7, 0, K - span_w)
+
+                @pl.when(kspan > 2)
+                def _full():
+                    for k0 in range(K - span_w + 1):
+                        @pl.when(kb == k0)
+                        def _(k0=k0):
+                            store_acc(gather_windows(range(k0, k0 + span_w)))
+            else:
+                kb2 = jnp.clip(vmin >> 7, 0, K - 2)
+                for k0 in range(K - 1):
+                    @pl.when(kb2 == k0)
+                    def _(k0=k0):
+                        store_acc(gather_windows(range(k0, k0 + 2)))
+            res = load_acc()
+
+        if pack:
+            q0, d0 = _unpack_bf16_pair(res)
+        else:
+            q0, d0 = res
+        total = total + jnp.where(valid, weight * (q0 + fv * d0), 0.0)
     vol_out_ref[0] = total
 
 
@@ -290,6 +390,8 @@ def backproject_chunk_pallas_yxz(
     *,
     interpret: bool = False,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    pack_qdq: Optional[bool] = None,
+    x_tile: int = _XTILE,
 ) -> jnp.ndarray:
     """Accumulate C projections into a kernel-layout volume block.
 
@@ -298,6 +400,12 @@ def backproject_chunk_pallas_yxz(
     z-blocks only ever sample a band of detector rows
     (geometry.detector_row_band), so callers slice before the call to
     cut VMEM, matmul width, gather windows and ICI broadcast bytes.
+
+    ``pack_qdq`` (default: on iff ``precision`` is DEFAULT) bf16-packs
+    the stage-1 output pairs so stage 2 does one gather instead of two —
+    the "fast" accuracy mode (~4e-3 per-sample, averages out over a
+    scan); the HIGHEST/two-gather combination is the "exact" mode that
+    matches the XLA op to ~1e-5.
     """
     offsets = jnp.asarray(offsets, jnp.int32)
     if offsets.shape[0] == 3:
@@ -305,18 +413,29 @@ def backproject_chunk_pallas_yxz(
     ny, nxp, nzp = volume_yxz.shape
     C, HP, VP = proj_t.shape
     assert nxp % _LANE == 0 and nzp % _LANE == 0, (nxp, nzp)
-    band = min(_BAND, HP)
-    if not pallas_supported(grid):
+    assert nxp % x_tile == 0, (nxp, x_tile)
+    if pack_qdq is None:
+        pack_qdq = precision == jax.lax.Precision.DEFAULT
+    band = min(_h_band_px(grid, x_tile), HP)
+    if not pallas_supported(grid, x_tile):
         raise ValueError(
             "geometry's h-span per x-tile exceeds the interpolation band; "
             "use the XLA backend")
-    span_w = _v_span_windows(grid)
+    span_w = _v_span_windows(grid, x_tile)
 
     kern = functools.partial(
         _bp_kernel, grid=grid, C=C, HP=HP, VP=VP, band=band,
-        mm_precision=precision, span_w=span_w)
+        mm_precision=precision, span_w=span_w, x_tile=x_tile, pack=pack_qdq)
 
-    pgrid = (ny, nxp // _LANE, nzp // _LANE)
+    if pack_qdq:
+        scratch = [pltpu.VMEM((C, x_tile, VP), jnp.int32),
+                   pltpu.VMEM((1, x_tile, _LANE), jnp.int32)]
+    else:
+        scratch = [pltpu.VMEM((C, x_tile, VP), jnp.float32),
+                   pltpu.VMEM((C, x_tile, VP), jnp.float32),
+                   pltpu.VMEM((2, x_tile, _LANE), jnp.float32)]
+
+    pgrid = (ny, nxp // x_tile, nzp // _LANE)
     return pl.pallas_call(
         kern,
         grid=pgrid,
@@ -326,15 +445,14 @@ def backproject_chunk_pallas_yxz(
             pl.BlockSpec(memory_space=pltpu.SMEM),     # offsets
             pl.BlockSpec((C, HP, VP), lambda y, xt, zt: (0, 0, 0),
                          memory_space=pltpu.VMEM),     # proj_t
-            pl.BlockSpec((1, _LANE, _LANE), lambda y, xt, zt: (y, xt, zt),
+            pl.BlockSpec((1, x_tile, _LANE), lambda y, xt, zt: (y, xt, zt),
                          memory_space=pltpu.VMEM),     # vol in
         ],
-        out_specs=pl.BlockSpec((1, _LANE, _LANE), lambda y, xt, zt: (y, xt, zt),
+        out_specs=pl.BlockSpec((1, x_tile, _LANE),
+                               lambda y, xt, zt: (y, xt, zt),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ny, nxp, nzp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((C, _LANE, VP), jnp.float32),
-                        pltpu.VMEM((C, _LANE, VP), jnp.float32),
-                        pltpu.VMEM((2, _LANE, _LANE), jnp.float32)],
+        scratch_shapes=scratch,
         input_output_aliases={4: 0},
         interpret=interpret,
     )(sin_phi, cos_phi, offsets, proj_t, volume_yxz)
@@ -350,6 +468,8 @@ def backproject_chunk_pallas(
     roi_offset: Tuple[int, int, int] = (0, 0, 0),
     *,
     interpret: bool = False,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    pack_qdq: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Drop-in replacement for ``backproject_chunk_xla``.
 
@@ -366,5 +486,6 @@ def backproject_chunk_pallas(
         jnp.asarray(rz1, jnp.int32) + jnp.asarray(z_offset, jnp.int32),
     ])
     out = backproject_chunk_pallas_yxz(
-        vk, pt, sin_phi, cos_phi, grid, offs, interpret=interpret)
+        vk, pt, sin_phi, cos_phi, grid, offs, interpret=interpret,
+        precision=precision, pack_qdq=pack_qdq)
     return from_kernel_layout(out, (dz, ny, nx))

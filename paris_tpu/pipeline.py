@@ -45,14 +45,21 @@ def _auto_backend() -> str:
 
 
 def max_chunk_size(det: DetectorGeometry, v_band_width=None,
-                   budget_bytes: int = 12 << 20) -> int:
+                   budget_bytes: int = 12 << 20,
+                   accuracy: str = "exact") -> int:
     """Largest pallas chunk fitting the VMEM budget for this detector."""
     def rup(x, m):
         return -(-x // m) * m
     vp = rup(det.n_col, 128) if v_band_width is None else \
         min(rup(det.n_col, 128), rup(v_band_width, 128))
     hp = rup(det.n_row, 8)
-    return max(1, budget_bytes // (4 * vp * (hp + 2 * 128)))
+    return max(1, budget_bytes // (4 * vp * (hp + _scratch_rows(accuracy))))
+
+
+def _scratch_rows(accuracy: str) -> int:
+    """Per-chunk VMEM scratch rows (Q[/dQ]) in units of VP-wide f32 rows."""
+    from .ops import backprojection_pallas as bpp
+    return bpp._XTILE * (1 if accuracy == "fast" else 2)
 
 
 class Reconstructor:
@@ -73,10 +80,15 @@ class Reconstructor:
         backend: str = "auto",
         interpret: bool = False,
         v_band_width: Optional[int] = None,   # detector-row band (pallas)
+        accuracy: str = "exact",              # "fast": bf16 interp tables
         device=None,
     ):
+        if accuracy not in ("exact", "fast"):
+            raise ValueError(f"accuracy must be 'exact' or 'fast', "
+                             f"got {accuracy!r}")
         self.det = det
         self.vol = vol
+        self.accuracy = accuracy
         self.chunk_size = int(chunk_size)
         self.block_shape = tuple(block_shape or vol.shape_zyx)
         self.device = device
@@ -103,17 +115,20 @@ class Reconstructor:
                 self._vp = vp_full
             else:
                 self._vp = min(vp_full, bpp._round_up(v_band_width, 128))
-            # VMEM budget: banded projections + Q/dQ scratch must fit
+            # VMEM budget: banded projections + Q[/dQ] scratch must fit
             # alongside the volume block and pipeline buffers (~16MB/core)
             hp = bpp._round_up(det.n_row, 8)
-            vmem_est = 4 * self.chunk_size * self._vp * (hp + 2 * 128)
+            srows = _scratch_rows(accuracy)
+            vmem_est = 4 * self.chunk_size * self._vp * (hp + srows)
             budget = 12 << 20
             if vmem_est > budget:
-                max_c = max(1, budget // (4 * self._vp * (hp + 2 * 128)))
+                max_c = max(1, budget // (4 * self._vp * (hp + srows)))
                 raise ValueError(
                     f"chunk_size {self.chunk_size} needs ~{vmem_est >> 20}MB "
                     f"VMEM for a {hp}x{self._vp} projection band; reduce "
                     f"chunk_size to <= {max_c} or narrow the detector band")
+            mm_prec = (jax.lax.Precision.DEFAULT if accuracy == "fast"
+                       else jax.lax.Precision.HIGHEST)
 
             @functools.partial(jax.jit, donate_argnums=(0,))
             def _step(volume_yxz, chunk, sin_phi, cos_phi, offs):
@@ -126,7 +141,7 @@ class Reconstructor:
                         (proj_t.shape[0], proj_t.shape[1], self._vp))
                 return bpp.backproject_chunk_pallas_yxz(
                     volume_yxz, proj_t, sin_phi, cos_phi, self.grid, offs,
-                    interpret=interpret)
+                    interpret=interpret, precision=mm_prec)
 
             self._step = _step
         elif backend == "xla":

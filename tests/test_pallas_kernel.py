@@ -122,3 +122,19 @@ def test_pallas_v_band_matches_full():
     out_band = banded.run(projs, angles, z_offset=z0)
     np.testing.assert_allclose(out_band, out_full[z0:z0 + dz],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_fast_mode_accuracy(setup):
+    """bf16 packed-table fast mode stays within per-sample bf16 noise."""
+    import jax
+    det, vol, grid, projs, phi = setup
+    sin, cos = jnp.sin(jnp.asarray(phi)), jnp.cos(jnp.asarray(phi))
+    vol0 = jnp.zeros((vol.dim_z, vol.dim_y, vol.dim_x), jnp.float32)
+    ref = np.asarray(backproject_chunk_xla(
+        vol0, jnp.asarray(projs), sin, cos, grid))
+    fast = np.asarray(backproject_chunk_pallas(
+        vol0, jnp.asarray(projs), sin, cos, grid, interpret=True,
+        precision=jax.lax.Precision.DEFAULT))
+    scale = np.abs(ref).max()
+    assert np.abs(fast - ref).max() / scale < 2e-2
+    assert np.sqrt(np.mean((fast - ref) ** 2)) / scale < 2e-3
