@@ -57,6 +57,8 @@ class ReconstructionJob:
     roi: Optional[RegionOfInterest] = None
     chunk_size: int = 16
     backend: str = "auto"
+    accuracy: str = "exact"           # "fast": bf16 interp tables (pallas)
+    block_dz: Optional[int] = None    # force z-block extent (else HBM planner)
     hbm_budget_bytes: Optional[int] = None
     cache_projections: Optional[bool] = None   # None = auto by RAM
     resume: bool = False
@@ -106,6 +108,7 @@ def _run_job(job: ReconstructionJob) -> str:
         vol_geo,
         hbm_budget_bytes=job.hbm_budget_bytes,
         proj_buffer_bytes=4 * proj_bytes * job.chunk_size,
+        block_dz=job.block_dz,
     )
     logger.info("z-split: %d block(s) of %d slices (padded)",
                 info.num, info.dim_z_padded)
@@ -140,7 +143,7 @@ def _run_job(job: ReconstructionJob) -> str:
     chunk_size = job.chunk_size
     import jax as _jax
     if job.backend in ("pallas", "auto") and _jax.default_backend() == "tpu":
-        cmax = max_chunk_size(job.det, v_band)
+        cmax = max_chunk_size(job.det, v_band, accuracy=job.accuracy)
         if chunk_size > cmax:
             logger.info("clamping chunk size %d -> %d (VMEM budget)",
                         chunk_size, cmax)
@@ -148,7 +151,7 @@ def _run_job(job: ReconstructionJob) -> str:
     rec = Reconstructor(
         job.det, full_geo, chunk_size=chunk_size, backend=job.backend,
         block_shape=(info.dim_z_padded, vol_geo.dim_y, vol_geo.dim_x),
-        v_band_width=v_band,
+        v_band_width=v_band, accuracy=job.accuracy,
     )
     logger.info("backend: %s, chunk size %d", rec.backend, chunk_size)
 

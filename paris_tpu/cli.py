@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="projections accumulated per device pass")
     p.add_argument("--hbm-budget-gb", type=float, default=None,
                    help="per-device HBM budget driving the z-block split")
+    p.add_argument("--block-dz", type=int, default=None,
+                   help="force z-block extent (narrows per-block detector band)")
+    p.add_argument("--accuracy", default="exact", choices=["exact", "fast"],
+                   help="pallas kernel mode: exact f32, or fast bf16 "
+                        "interpolation tables (~2x faster backprojection)")
     p.add_argument("--resume", action="store_true",
                    help="resume: skip blocks recorded complete in the manifest")
     p.add_argument("--distributed", action="store_true",
@@ -133,6 +138,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         roi=roi,
         chunk_size=args.chunk_size,
         backend=args.backend,
+        accuracy=args.accuracy,
+        block_dz=args.block_dz,
         hbm_budget_bytes=(int(args.hbm_budget_gb * (1 << 30))
                           if args.hbm_budget_gb else None),
         resume=args.resume,

@@ -201,6 +201,7 @@ def plan_z_blocks(
     num_shards: int = 1,
     z_align: int = 8,
     max_blocks: int = 4096,
+    block_dz: Optional[int] = None,
 ) -> SubvolumeInfo:
     """Split the volume along z into uniform blocks fitting an HBM budget.
 
@@ -210,13 +211,21 @@ def plan_z_blocks(
     10 projection buffers, src/cuda/subvolume_information.cpp:72).
     ``num_shards`` is the size of the device mesh z-axis: each block is
     further divided across shards, so block z-size is aligned to
-    ``num_shards * z_align`` slices.
+    ``num_shards * z_align`` slices.  ``block_dz`` forces the block
+    extent directly (e.g. to narrow the per-block detector-row band),
+    overriding the budget-derived split.
     """
     if vol.dim_z <= 0:
         raise ValueError("volume has no z extent")
     align = max(1, num_shards * z_align)
 
-    if hbm_budget_bytes is None:
+    if block_dz is not None:
+        if block_dz < 1:
+            raise ValueError(f"block_dz must be >= 1, got {block_dz}")
+        n_blocks = -(-vol.dim_z // (-(-block_dz // align) * align))
+        if n_blocks > max_blocks:
+            raise ValueError(f"z-split needs {n_blocks} blocks (> {max_blocks})")
+    elif hbm_budget_bytes is None:
         n_blocks = 1
     else:
         usable = hbm_budget_bytes - proj_buffer_bytes

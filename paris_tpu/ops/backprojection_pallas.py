@@ -192,6 +192,7 @@ def _bp_kernel(
     span_w: int,
     x_tile: int,
     pack: bool,
+    direct: bool,
 ):
     if pack:
         q_ref, acc_ref = refs
@@ -232,7 +233,12 @@ def _bp_kernel(
         weight = jnp.where(safe, 0.5 * (d_so * inv) ** 2, 0.0)
         return safe, factor, weight
 
+    KW = VP // _LANE
+
     # ---- stage 1 (once per (y, x-tile)): fill the Q scratch --------------
+    # The scratch is WINDOW-MAJOR — (C, K, XT, 128) — so stage 2's gathers
+    # read whole contiguous tiles instead of lane-slicing a (XT, VP) row
+    # at a different 128-offset per z-tile.
     @pl.when(zt == 0)
     def _stage1():
         band_cols = jax.lax.broadcasted_iota(jnp.int32, (XT, band), 1)
@@ -262,14 +268,16 @@ def _bp_kernel(
                 precision=mm_precision,
             )                                              # (XT, VP)
             # forward difference along v: det = Q[v0] + fv * dQ[v0]
+            D = (jnp.concatenate(
+                [Q[:, 1:], jnp.zeros((XT, 1), jnp.float32)], axis=1) - Q)
             if pack:
-                D = (jnp.concatenate(
-                    [Q[:, 1:], jnp.zeros((XT, 1), jnp.float32)], axis=1) - Q)
-                q_ref[c] = _pack_bf16_pair(Q, D)
+                P = _pack_bf16_pair(Q, D)
+                for k in range(KW):
+                    q_ref[c, k] = P[:, k * _LANE:(k + 1) * _LANE]
             else:
-                q_ref[c] = Q
-                dq_ref[c, :, :VP - 1] = Q[:, 1:] - Q[:, :VP - 1]
-                dq_ref[c, :, VP - 1] = -Q[:, VP - 1]
+                for k in range(KW):
+                    q_ref[c, k] = Q[:, k * _LANE:(k + 1) * _LANE]
+                    dq_ref[c, k] = D[:, k * _LANE:(k + 1) * _LANE]
 
     # ---- stage 2: v-interp + accumulate this (1, XT, LANE) block ---------
     zidx = (jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
@@ -301,25 +309,18 @@ def _bp_kernel(
             idx = relv & (_LANE - 1)
             bucket = relv >> 7                    # log2(_LANE)
             if pack:
-                a = jnp.take_along_axis(
-                    q_ref[c, :, kws[0] * _LANE:(kws[0] + 1) * _LANE],
-                    idx, axis=1)
+                a = jnp.take_along_axis(q_ref[c, kws[0]], idx, axis=1)
                 for j, k in enumerate(kws[1:], start=1):
-                    g = jnp.take_along_axis(
-                        q_ref[c, :, k * _LANE:(k + 1) * _LANE], idx, axis=1)
+                    g = jnp.take_along_axis(q_ref[c, k], idx, axis=1)
                     a = jnp.where(bucket == j, g, a)
                 return a
-            a0 = jnp.take_along_axis(
-                q_ref[c, :, kws[0] * _LANE:(kws[0] + 1) * _LANE], idx, axis=1)
-            a1 = jnp.take_along_axis(
-                dq_ref[c, :, kws[0] * _LANE:(kws[0] + 1) * _LANE], idx, axis=1)
+            a0 = jnp.take_along_axis(q_ref[c, kws[0]], idx, axis=1)
+            a1 = jnp.take_along_axis(dq_ref[c, kws[0]], idx, axis=1)
             for j, k in enumerate(kws[1:], start=1):
                 m = bucket == j
-                g0 = jnp.take_along_axis(
-                    q_ref[c, :, k * _LANE:(k + 1) * _LANE], idx, axis=1)
+                g0 = jnp.take_along_axis(q_ref[c, k], idx, axis=1)
                 a0 = jnp.where(m, g0, a0)
-                g1 = jnp.take_along_axis(
-                    dq_ref[c, :, k * _LANE:(k + 1) * _LANE], idx, axis=1)
+                g1 = jnp.take_along_axis(dq_ref[c, k], idx, axis=1)
                 a1 = jnp.where(m, g1, a1)
             return a0, a1
 
@@ -334,7 +335,7 @@ def _bp_kernel(
                 return acc_ref[0]
             return acc_ref[0], acc_ref[1]
 
-        if K <= max(span_w, 2):
+        if K <= max(span_w, 2) or direct:
             res = gather_windows(range(K))
         else:
             # Only span_w consecutive windows can be touched by this
@@ -392,6 +393,7 @@ def backproject_chunk_pallas_yxz(
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     pack_qdq: Optional[bool] = None,
     x_tile: int = _XTILE,
+    direct_windows: bool = False,
 ) -> jnp.ndarray:
     """Accumulate C projections into a kernel-layout volume block.
 
@@ -414,6 +416,7 @@ def backproject_chunk_pallas_yxz(
     C, HP, VP = proj_t.shape
     assert nxp % _LANE == 0 and nzp % _LANE == 0, (nxp, nzp)
     assert nxp % x_tile == 0, (nxp, x_tile)
+    assert VP % _LANE == 0, VP
     if pack_qdq is None:
         pack_qdq = precision == jax.lax.Precision.DEFAULT
     band = min(_h_band_px(grid, x_tile), HP)
@@ -425,14 +428,16 @@ def backproject_chunk_pallas_yxz(
 
     kern = functools.partial(
         _bp_kernel, grid=grid, C=C, HP=HP, VP=VP, band=band,
-        mm_precision=precision, span_w=span_w, x_tile=x_tile, pack=pack_qdq)
+        mm_precision=precision, span_w=span_w, x_tile=x_tile, pack=pack_qdq,
+        direct=direct_windows)
 
+    K = VP // _LANE
     if pack_qdq:
-        scratch = [pltpu.VMEM((C, x_tile, VP), jnp.int32),
+        scratch = [pltpu.VMEM((C, K, x_tile, _LANE), jnp.int32),
                    pltpu.VMEM((1, x_tile, _LANE), jnp.int32)]
     else:
-        scratch = [pltpu.VMEM((C, x_tile, VP), jnp.float32),
-                   pltpu.VMEM((C, x_tile, VP), jnp.float32),
+        scratch = [pltpu.VMEM((C, K, x_tile, _LANE), jnp.float32),
+                   pltpu.VMEM((C, K, x_tile, _LANE), jnp.float32),
                    pltpu.VMEM((2, x_tile, _LANE), jnp.float32)]
 
     pgrid = (ny, nxp // x_tile, nzp // _LANE)

@@ -50,6 +50,7 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
         proj_buffer_bytes=4 * proj_bytes * chunk,
         num_shards=n_dev,
         z_align=8,
+        block_dz=job.block_dz,
     )
     logger.info("z-split: %d block(s) of %d slices (padded)",
                 info.num, info.dim_z_padded)
@@ -57,9 +58,34 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
     sink = VolumeSink(job.output_path, job.prefix, vol_geo.dim_x,
                       vol_geo.dim_y, vol_geo.dim_z, resume=job.resume)
 
+    # detector-row banding, as in app.run_job: widest band over blocks
+    v_band = None
+    if info.num > 1:
+        from ..geometry import detector_row_band
+        rz1_ = job.roi.z1 if job.roi else 0
+        widths = [
+            (lambda lo_hi: lo_hi[1] - lo_hi[0])(
+                detector_row_band(job.det, full_geo, b.z0 + rz1_,
+                                  b.dim_z_padded))
+            for b in info.blocks
+        ]
+        v_band = max(widths)
+        if v_band >= job.det.n_col:
+            v_band = None
+
+    if job.backend in ("pallas", "auto") and jax.default_backend() == "tpu":
+        from ..pipeline import max_chunk_size
+        cmax = max_chunk_size(job.det, v_band, accuracy=job.accuracy)
+        cmax = max(n_dev, (cmax // n_dev) * n_dev)
+        if chunk > cmax:
+            logger.info("clamping chunk size %d -> %d (VMEM budget)",
+                        chunk, cmax)
+            chunk = cmax
+
     rec = DistributedReconstructor(
         job.det, full_geo, mesh=mesh, chunk_size=chunk,
         block_dz=info.dim_z_padded, backend=job.backend,
+        v_band_width=v_band, accuracy=job.accuracy,
     )
 
     rx1, ry1, rz1 = _roi_offset(job)

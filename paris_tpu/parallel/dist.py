@@ -67,9 +67,14 @@ class DistributedReconstructor:
         backend: str = "auto",
         interpret: bool = False,
         v_band_width=None,
+        accuracy: str = "exact",
     ):
+        if accuracy not in ("exact", "fast"):
+            raise ValueError(f"accuracy must be 'exact' or 'fast', "
+                             f"got {accuracy!r}")
         self.det = det
         self.vol = vol
+        self.accuracy = accuracy
         self.mesh = mesh if mesh is not None else make_z_mesh()
         self.n_dev = self.mesh.devices.size
         self.chunk_size = int(chunk_size)
@@ -148,9 +153,11 @@ class DistributedReconstructor:
                 my_y0 = jax.lax.axis_index(Z_AXIS) * self.local_ny
                 shard_offs = jnp.stack(
                     [offs[0], offs[1] + my_y0, offs[2], offs[3]])
+                mm_prec = (jax.lax.Precision.DEFAULT if accuracy == "fast"
+                           else jax.lax.Precision.HIGHEST)
                 return bpp.backproject_chunk_pallas_yxz(
                     volume, proj_t, sins, coss, self.grid, shard_offs,
-                    interpret=interpret)
+                    interpret=interpret, precision=mm_prec)
         else:
             raise ValueError(f"unknown backend {backend!r}")
 

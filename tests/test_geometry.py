@@ -96,6 +96,20 @@ def test_plan_z_blocks_budget_split_covers_volume():
     assert covered == list(range(250))
 
 
+def test_plan_z_blocks_forced_block_dz():
+    vol = VolumeGeometry(128, 128, 500, 0.1, 0.1, 0.1)
+    info = plan_z_blocks(vol, block_dz=128)
+    assert info.num == 4
+    assert info.dim_z_padded == 128
+    covered = []
+    for b in info.blocks:
+        covered.extend(range(b.z0, b.z0 + b.dim_z))
+    assert covered == list(range(500))
+    # forced extent is aligned up for sharded meshes
+    info8 = plan_z_blocks(vol, block_dz=100, num_shards=8)
+    assert info8.dim_z_padded % 64 == 0
+
+
 def test_plan_z_blocks_shard_alignment():
     vol = VolumeGeometry(128, 128, 100, 0.1, 0.1, 0.1)
     info = plan_z_blocks(vol, num_shards=8)
