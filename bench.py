@@ -49,15 +49,16 @@ def main():
     offs = jnp.zeros((3,), jnp.int32)
 
     volume = rec.init_block()
-    # compile + warmup
+    # compile + warmup (materialize: block_until_ready alone can return
+    # before donated-alias pallas outputs are actually computed)
     volume = rec._step(volume, chunk_j, sin, cos, offs)
-    volume.block_until_ready()
+    float(jnp.sum(volume))
 
     iters = min(100, max(3, int(np.ceil(2.0e10 / (vol.voxels * C)))))
     t0 = time.perf_counter()
     for _ in range(iters):
         volume = rec._step(volume, chunk_j, sin, cos, offs)
-    volume.block_until_ready()
+    float(jnp.sum(volume))
     dt = (time.perf_counter() - t0) / iters
 
     updates = vol.voxels * C

@@ -73,13 +73,13 @@ def _throughput_run(det, n_proj, chunk, label, config_id, quality_probe=True):
             jnp.asarray(np.cos(phi)), jnp.zeros((4,), jnp.int32))
     v = rec.init_block()
     v = rec._step(v, *args)
-    v.block_until_ready()
+    float(jnp.sum(v))   # materialize: see bench.py timing note
     n_chunks = max(1, n_proj // chunk)
     reps = min(n_chunks, max(3, int(2e10 / (vol.voxels * chunk))))
     t0 = time.perf_counter()
     for _ in range(reps):
         v = rec._step(v, *args)
-    v.block_until_ready()
+    float(jnp.sum(v))
     dt = (time.perf_counter() - t0) / reps
     gups = vol.voxels * chunk / dt / 1e9
     return {
@@ -181,13 +181,14 @@ def config5():
     rng = np.random.default_rng(0)
     projs = rng.standard_normal((chunk, det.n_col, det.n_row)).astype(np.float32)
     angles = np.arange(chunk, dtype=np.float32) * det.delta_phi
+    import jax.numpy as jnp
     v = rec.accumulate(rec.init_block(), projs, angles)
-    v.block_until_ready()
+    float(jnp.sum(v))
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         v = rec.accumulate(v, projs, angles)
-    v.block_until_ready()
+    float(jnp.sum(v))
     dt = (time.perf_counter() - t0) / reps
     updates = vol.dim_x * vol.dim_y * block * chunk
     return {

@@ -392,8 +392,8 @@ def backproject_chunk_pallas_yxz(
     interpret: bool = False,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     pack_qdq: Optional[bool] = None,
-    x_tile: int = _XTILE,
-    direct_windows: bool = False,
+    x_tile: Optional[int] = None,
+    direct_windows: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Accumulate C projections into a kernel-layout volume block.
 
@@ -409,6 +409,11 @@ def backproject_chunk_pallas_yxz(
     scan); the HIGHEST/two-gather combination is the "exact" mode that
     matches the XLA op to ~1e-5.
     """
+    import os
+    if x_tile is None:       # env knobs for kernel experiments
+        x_tile = int(os.environ.get("PARIS_BP_XTILE", _XTILE))
+    if direct_windows is None:
+        direct_windows = os.environ.get("PARIS_BP_DIRECT", "0") == "1"
     offsets = jnp.asarray(offsets, jnp.int32)
     if offsets.shape[0] == 3:
         offsets = jnp.concatenate([offsets, jnp.zeros((1,), jnp.int32)])
