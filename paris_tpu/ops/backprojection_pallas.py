@@ -29,10 +29,16 @@ two structured interpolations:
     gather + in-window select.  The base value Q[v0] and forward
     difference dQ[v0] are gathered (border-zero v handling is an
     explicit mask), giving det = Q[v0] + fv*dQ[v0].  Two speed paths:
-      * runtime window fast path — the static window count ``span_w``
-        is a worst-case bound; most tiles touch only 2 consecutive
-        windows, detected at runtime and dispatched to a cheaper
-        predicated branch;
+      * window selection (``window_mode``): the static worst-case
+        window count is K = VP/128, but any one (angle, tile) touches
+        only ``span_w`` (typically 2-3) consecutive windows.  Three
+        strategies: "direct" gathers all K windows (no control flow —
+        wins when K is small, the common case under detector-row
+        banding); "dynamic" computes the lowest touched window k0 from
+        SCALAR interval bounds (tile x/y/z extents x geometry) and
+        gathers the ``span_w`` windows ``q_ref[c, k0+j]`` via dynamic
+        leading-dim indexing — no vector reductions, no branches;
+        "ladder" is the legacy runtime-predicated branch chain;
       * packed Q/dQ (``pack_qdq``) — Q and dQ are round-to-nearest
         bf16-packed into one int32 lane in stage 1, halving the gather
         count; numerically ~4e-3 per sample, which averages out over
@@ -192,7 +198,8 @@ def _bp_kernel(
     span_w: int,
     x_tile: int,
     pack: bool,
-    direct: bool,
+    window_mode: str,
+    den_floor: float,
 ):
     if pack:
         q_ref, acc_ref = refs
@@ -335,8 +342,57 @@ def _bp_kernel(
                 return acc_ref[0]
             return acc_ref[0], acc_ref[1]
 
-        if K <= max(span_w, 2) or direct:
+        if K <= max(span_w, 2) or window_mode == "direct":
             res = gather_windows(range(K))
+        elif window_mode == "dynamic":
+            # Lowest touched window from SCALAR interval bounds: the
+            # tile's x/y/z extents and the geometry give conservative
+            # [v_lo, v_hi] without touching a single vector lane.  Any
+            # voxel inside the trace-time radius bound has
+            # denom >= den_floor, so clamping there keeps f_hi a
+            # valid upper bound for every voxel ``safe`` doesn't kill;
+            # interval width <= the same span that sizes span_w, so
+            # span_w windows from k0 always cover the valid voxels
+            # (out-of-cover lanes are killed by the ``valid`` mask).
+            sin_c, cos_c = sin_ref[c], cos_ref[c]
+            xs_lo = (xt * XT + rx1).astype(jnp.float32) * l_vx_x + off_x
+            xs_hi = xs_lo + (XT - 1) * l_vx_x
+            ys_s = (y + ry1).astype(jnp.float32) * l_vx_y + off_y
+            s1 = xs_lo * cos_c + ys_s * sin_c
+            s2 = xs_hi * cos_c + ys_s * sin_c
+            den_lo = jnp.maximum(jnp.minimum(s1, s2) + d_so, den_floor)
+            den_hi = jnp.maximum(jnp.maximum(s1, s2) + d_so, den_lo)
+            f_hi = d_sd / den_lo
+            f_lo = d_sd / den_hi
+            zs_lo = (zt * _LANE + z0g).astype(jnp.float32) * l_vx_z + off_z
+            zs_hi = zs_lo + (_LANE - 1) * l_vx_z
+            v_mm_lo = jnp.minimum(
+                jnp.minimum(zs_lo * f_lo, zs_lo * f_hi),
+                jnp.minimum(zs_hi * f_lo, zs_hi * f_hi))
+            rel_lo = ((v_mm_lo - grid.v_min) / det.l_px_col - 0.5)
+            k0 = jnp.clip(
+                (jnp.floor(rel_lo).astype(jnp.int32) - vlo - 1) >> 7,
+                0, K - span_w)
+            base = k0 * _LANE
+            relv = v0 - base
+            idx = relv & (_LANE - 1)
+            bucket = relv >> 7
+            if pack:
+                a = jnp.take_along_axis(q_ref[c, k0], idx, axis=1)
+                for j in range(1, span_w):
+                    g = jnp.take_along_axis(q_ref[c, k0 + j], idx, axis=1)
+                    a = jnp.where(bucket == j, g, a)
+                res = a
+            else:
+                a0 = jnp.take_along_axis(q_ref[c, k0], idx, axis=1)
+                a1 = jnp.take_along_axis(dq_ref[c, k0], idx, axis=1)
+                for j in range(1, span_w):
+                    m = bucket == j
+                    g0 = jnp.take_along_axis(q_ref[c, k0 + j], idx, axis=1)
+                    a0 = jnp.where(m, g0, a0)
+                    g1 = jnp.take_along_axis(dq_ref[c, k0 + j], idx, axis=1)
+                    a1 = jnp.where(m, g1, a1)
+                res = (a0, a1)
         else:
             # Only span_w consecutive windows can be touched by this
             # tile (static bound); branch on the runtime lowest valid
@@ -393,7 +449,7 @@ def backproject_chunk_pallas_yxz(
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     pack_qdq: Optional[bool] = None,
     x_tile: Optional[int] = None,
-    direct_windows: Optional[bool] = None,
+    window_mode: Optional[str] = None,   # "direct" | "dynamic" | "ladder"
 ) -> jnp.ndarray:
     """Accumulate C projections into a kernel-layout volume block.
 
@@ -412,8 +468,12 @@ def backproject_chunk_pallas_yxz(
     import os
     if x_tile is None:       # env knobs for kernel experiments
         x_tile = int(os.environ.get("PARIS_BP_XTILE", _XTILE))
-    if direct_windows is None:
-        direct_windows = os.environ.get("PARIS_BP_DIRECT", "0") == "1"
+    if window_mode is None:
+        # "direct" measured 2.3x over "ladder" at 512^3/K=4 on v5e;
+        # banding + the VMEM budget keep K small in practice.
+        window_mode = os.environ.get("PARIS_BP_WINDOWS", "direct")
+    if window_mode not in ("direct", "dynamic", "ladder"):
+        raise ValueError(f"unknown window_mode {window_mode!r}")
     offsets = jnp.asarray(offsets, jnp.int32)
     if offsets.shape[0] == 3:
         offsets = jnp.concatenate([offsets, jnp.zeros((1,), jnp.int32)])
@@ -430,11 +490,15 @@ def backproject_chunk_pallas_yxz(
             "geometry's h-span per x-tile exceeds the interpolation band; "
             "use the XLA backend")
     span_w = _v_span_windows(grid, x_tile)
+    det, vol = grid.det, grid.vol
+    r_b = min((vol.dim_x / 2.0) * vol.l_vx_x * math.sqrt(2.0),
+              abs(grid.d_so) * 0.95)
+    den_floor = abs(grid.d_so) - r_b
 
     kern = functools.partial(
         _bp_kernel, grid=grid, C=C, HP=HP, VP=VP, band=band,
         mm_precision=precision, span_w=span_w, x_tile=x_tile, pack=pack_qdq,
-        direct=direct_windows)
+        window_mode=window_mode, den_floor=den_floor)
 
     K = VP // _LANE
     if pack_qdq:
@@ -480,6 +544,7 @@ def backproject_chunk_pallas(
     interpret: bool = False,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     pack_qdq: Optional[bool] = None,
+    window_mode: Optional[str] = None,
 ) -> jnp.ndarray:
     """Drop-in replacement for ``backproject_chunk_xla``.
 
@@ -497,5 +562,5 @@ def backproject_chunk_pallas(
     ])
     out = backproject_chunk_pallas_yxz(
         vk, pt, sin_phi, cos_phi, grid, offs, interpret=interpret,
-        precision=precision, pack_qdq=pack_qdq)
+        precision=precision, pack_qdq=pack_qdq, window_mode=window_mode)
     return from_kernel_layout(out, (dz, ny, nx))

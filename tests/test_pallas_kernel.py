@@ -124,6 +124,42 @@ def test_pallas_v_band_matches_full():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_window_modes_match(setup):
+    """direct / dynamic / ladder stage-2 window strategies agree.
+
+    Needs a tall detector so K = VP/128 exceeds span_w — otherwise the
+    all-window fast case short-circuits every mode.
+    """
+    from paris_tpu.ops import backprojection_pallas as bpp
+    det = DetectorGeometry(
+        n_row=96, n_col=640, l_px_row=2.0, l_px_col=2.0,
+        delta_s=0.0, delta_t=0.0, d_so=500.0, d_od=500.0, delta_phi=2.0,
+    )
+    vol = derive_volume_geometry(det)
+    grid = make_bp_grid(det, vol)
+    span_w = bpp._v_span_windows(grid)
+    assert 640 // 128 > max(span_w, 2), (span_w,)
+    rng = np.random.default_rng(13)
+    projs = rng.standard_normal((2, det.n_col, det.n_row)).astype(np.float32)
+    phi = np.deg2rad([15.0, 200.0]).astype(np.float32)
+    sin, cos = jnp.sin(jnp.asarray(phi)), jnp.cos(jnp.asarray(phi))
+    dz = 16
+    vol0 = jnp.zeros((dz, vol.dim_y, vol.dim_x), jnp.float32)
+    # two z windows: near the volume center and near the top edge
+    for z0 in (vol.dim_z // 2 - dz // 2, vol.dim_z - dz):
+        ref = np.asarray(backproject_chunk_xla(
+            vol0, jnp.asarray(projs), sin, cos, grid, z_offset=z0))
+        for mode in ("direct", "dynamic", "ladder"):
+            out = np.asarray(backproject_chunk_pallas(
+                vol0, jnp.asarray(projs), sin, cos, grid, z_offset=z0,
+                interpret=True, window_mode=mode))
+            # atol 5e-4: at the volume's top edge a detector-border v
+            # can land on an integer boundary where a 1-ulp floor
+            # difference vs the XLA op flips one bilinear sample
+            np.testing.assert_allclose(out, ref, rtol=1e-4, atol=5e-4,
+                                       err_msg=f"mode={mode} z0={z0}")
+
+
 def test_pallas_fast_mode_accuracy(setup):
     """bf16 packed-table fast mode stays within per-sample bf16 noise."""
     import jax
