@@ -28,8 +28,9 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from paris_tpu.geometry import DetectorGeometry, derive_volume_geometry
-    from paris_tpu.pipeline import Reconstructor
+    from paris_tpu.geometry import (DetectorGeometry, derive_volume_geometry,
+                                    detector_row_band)
+    from paris_tpu.pipeline import Reconstructor, max_chunk_size
 
     # geometry scaled so the derived volume is ~size^3
     det = DetectorGeometry(
@@ -39,14 +40,39 @@ def main():
     )
     vol = derive_volume_geometry(det)
 
-    rec = Reconstructor(det, vol, chunk_size=C, backend=backend)
+    # 1024-class detectors exceed the VMEM projection budget at full
+    # height: bench one z-block with the detector-row band + chunk the
+    # app's planner would pick (app.run_job does the same per block).
+    block_shape = None
+    v_band = None
+    block_dz = int(os.environ.get("PARIS_BENCH_BLOCK_DZ", "0"))
+    if block_dz == 0 and size >= 1024:
+        block_dz = 128
+    if block_dz < 0:
+        # full-volume single block: no banding, VMEM-clamped chunk
+        C = min(C, max_chunk_size(det))
+        block_dz = 0
+    if block_dz:
+        n_blocks = -(-vol.dim_z // block_dz)
+        v_band = max(
+            detector_row_band(det, vol, i * block_dz, block_dz)[1]
+            - detector_row_band(det, vol, i * block_dz, block_dz)[0]
+            for i in range(n_blocks))
+        if v_band >= det.n_col:
+            v_band = None
+        block_shape = (block_dz, vol.dim_y, vol.dim_x)
+        C = min(C, max_chunk_size(det, v_band))
+
+    rec = Reconstructor(det, vol, chunk_size=C, backend=backend,
+                        block_shape=block_shape, v_band_width=v_band)
     rng = np.random.default_rng(0)
     chunk = rng.standard_normal((C, det.n_col, det.n_row)).astype(np.float32)
     phi = np.deg2rad(np.arange(C) * det.delta_phi).astype(np.float32)
     sin = jnp.asarray(np.sin(phi))
     cos = jnp.asarray(np.cos(phi))
     chunk_j = jnp.asarray(chunk)
-    offs = jnp.zeros((3,), jnp.int32)
+    z0 = 0
+    offs = jnp.asarray([0, 0, z0, rec._v_band_lo(z0)], jnp.int32)
 
     volume = rec.init_block()
     # compile + warmup (materialize: block_until_ready alone can return
@@ -54,14 +80,16 @@ def main():
     volume = rec._step(volume, chunk_j, sin, cos, offs)
     float(jnp.sum(volume))
 
-    iters = min(100, max(3, int(np.ceil(2.0e10 / (vol.voxels * C)))))
+    block_voxels = (block_shape[0] * block_shape[1] * block_shape[2]
+                    if block_shape else vol.voxels)
+    iters = min(100, max(3, int(np.ceil(2.0e10 / (block_voxels * C)))))
     t0 = time.perf_counter()
     for _ in range(iters):
         volume = rec._step(volume, chunk_j, sin, cos, offs)
     float(jnp.sum(volume))
     dt = (time.perf_counter() - t0) / iters
 
-    updates = vol.voxels * C
+    updates = block_voxels * C
     gups = updates / dt / 1e9
 
     # speed-of-light reference (BASELINE.md): per-projection streaming

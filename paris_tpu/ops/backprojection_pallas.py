@@ -469,9 +469,9 @@ def backproject_chunk_pallas_yxz(
     if x_tile is None:       # env knobs for kernel experiments
         x_tile = int(os.environ.get("PARIS_BP_XTILE", _XTILE))
     if window_mode is None:
-        # "direct" measured 2.3x over "ladder" at 512^3/K=4 on v5e;
-        # banding + the VMEM budget keep K small in practice.
-        window_mode = os.environ.get("PARIS_BP_WINDOWS", "direct")
+        # v5e 512^3/K=4 C=8 honest A/B (Gupd/s, fast|exact):
+        # ladder 15.6|13.1, direct 35.2|19.8, dynamic 40.5|23.1.
+        window_mode = os.environ.get("PARIS_BP_WINDOWS", "dynamic")
     if window_mode not in ("direct", "dynamic", "ladder"):
         raise ValueError(f"unknown window_mode {window_mode!r}")
     offsets = jnp.asarray(offsets, jnp.int32)
