@@ -25,6 +25,7 @@ def main():
     size = int(os.environ.get("PARIS_BENCH_SIZE", "256"))
     C = int(os.environ.get("PARIS_BENCH_CHUNK", "8"))
     backend = os.environ.get("PARIS_BENCH_BACKEND", "auto")
+    accuracy = os.environ.get("PARIS_BENCH_ACCURACY", "exact")
 
     import jax
     import jax.numpy as jnp
@@ -50,7 +51,7 @@ def main():
         block_dz = 128
     if block_dz < 0:
         # full-volume single block: no banding, VMEM-clamped chunk
-        C = min(C, max_chunk_size(det))
+        C = min(C, max_chunk_size(det, accuracy=accuracy))
         block_dz = 0
     if block_dz:
         n_blocks = -(-vol.dim_z // block_dz)
@@ -61,10 +62,11 @@ def main():
         if v_band >= det.n_col:
             v_band = None
         block_shape = (block_dz, vol.dim_y, vol.dim_x)
-        C = min(C, max_chunk_size(det, v_band))
+        C = min(C, max_chunk_size(det, v_band, accuracy=accuracy))
 
     rec = Reconstructor(det, vol, chunk_size=C, backend=backend,
-                        block_shape=block_shape, v_band_width=v_band)
+                        block_shape=block_shape, v_band_width=v_band,
+                        accuracy=accuracy)
     rng = np.random.default_rng(0)
     chunk = rng.standard_normal((C, det.n_col, det.n_row)).astype(np.float32)
     phi = np.deg2rad(np.arange(C) * det.delta_phi).astype(np.float32)

@@ -81,6 +81,7 @@ class Reconstructor:
         interpret: bool = False,
         v_band_width: Optional[int] = None,   # detector-row band (pallas)
         accuracy: str = "exact",              # "fast": bf16 interp tables
+        window_mode: Optional[str] = None,    # pallas stage-2 strategy
         device=None,
     ):
         if accuracy not in ("exact", "fast"):
@@ -141,7 +142,8 @@ class Reconstructor:
                         (proj_t.shape[0], proj_t.shape[1], self._vp))
                 return bpp.backproject_chunk_pallas_yxz(
                     volume_yxz, proj_t, sin_phi, cos_phi, self.grid, offs,
-                    interpret=interpret, precision=mm_prec)
+                    interpret=interpret, precision=mm_prec,
+                    window_mode=window_mode)
 
             self._step = _step
         elif backend == "xla":

@@ -160,6 +160,40 @@ def test_pallas_window_modes_match(setup):
                                        err_msg=f"mode={mode} z0={z0}")
 
 
+def test_pallas_window_modes_banded():
+    """dynamic window mode with a nonzero detector-row band start.
+
+    Wide band (K=3 > span_w) on a tall detector exercises the scalar
+    k0 derivation against the band offset vlo.
+    """
+    from paris_tpu.pipeline import Reconstructor
+    from paris_tpu.ops import backprojection_pallas as bpp
+    det = DetectorGeometry(
+        n_row=96, n_col=640, l_px_row=2.0, l_px_col=2.0,
+        delta_s=0.0, delta_t=0.0, d_so=500.0, d_od=500.0, delta_phi=2.0,
+    )
+    vol = derive_volume_geometry(det)
+    rng = np.random.default_rng(17)
+    projs = rng.standard_normal((2, det.n_col, det.n_row)).astype(np.float32)
+    angles = np.asarray([20.0, 210.0], np.float32)
+
+    full = Reconstructor(det, vol, chunk_size=2, backend="pallas",
+                         interpret=True, window_mode="direct")
+    out_full = full.run(projs, angles)
+
+    dz = 16
+    z0 = vol.dim_z - 3 * dz          # near the top -> band start vlo > 0
+    banded = Reconstructor(
+        det, vol, chunk_size=2, backend="pallas", interpret=True,
+        block_shape=(dz, vol.dim_y, vol.dim_x), v_band_width=384,
+        window_mode="dynamic")
+    assert banded._vp == 384, banded._vp
+    assert banded._v_band_lo(z0) > 0
+    out_band = banded.run(projs, angles, z_offset=z0)
+    np.testing.assert_allclose(out_band, out_full[z0:z0 + dz],
+                               rtol=1e-4, atol=5e-4)
+
+
 def test_pallas_fast_mode_accuracy(setup):
     """bf16 packed-table fast mode stays within per-sample bf16 noise."""
     import jax
