@@ -68,6 +68,7 @@ class DistributedReconstructor:
         interpret: bool = False,
         v_band_width=None,
         accuracy: str = "exact",
+        window_mode: Optional[str] = None,
     ):
         if accuracy not in ("exact", "fast"):
             raise ValueError(f"accuracy must be 'exact' or 'fast', "
@@ -157,7 +158,8 @@ class DistributedReconstructor:
                            else jax.lax.Precision.HIGHEST)
                 return bpp.backproject_chunk_pallas_yxz(
                     volume, proj_t, sins, coss, self.grid, shard_offs,
-                    interpret=interpret, precision=mm_prec)
+                    interpret=interpret, precision=mm_prec,
+                    window_mode=window_mode)
         else:
             raise ValueError(f"unknown backend {backend!r}")
 
