@@ -9,8 +9,14 @@ ceiling for a chunked backprojection (HBM_BW / (8 bytes / chunk_size) —
 see BASELINE.md), i.e. >1.0 means past the naive per-projection
 streaming bound.
 
-Env knobs: PARIS_BENCH_SIZE (default 256; 512/1024 for bigger runs),
-PARIS_BENCH_CHUNK (default 8), PARIS_BENCH_BACKEND (pallas|xla).
+Defaults measure the flagship BASELINE config: 1024-class volume,
+dz=256 banded z-blocks, chunk 8, accuracy "fast" (bf16 interpolation
+tables — the CUDA texture unit's precision class — which passes the
+1e-3 RMSE gate; see BASELINE.md for the exact/fast table).
+
+Env knobs: PARIS_BENCH_SIZE (default 1024), PARIS_BENCH_CHUNK (8),
+PARIS_BENCH_BACKEND (pallas|xla), PARIS_BENCH_ACCURACY (fast|exact),
+PARIS_BENCH_BLOCK_DZ (0=auto, -1=single full block, N=forced).
 """
 
 import json
@@ -22,10 +28,10 @@ import numpy as np
 
 
 def main():
-    size = int(os.environ.get("PARIS_BENCH_SIZE", "256"))
+    size = int(os.environ.get("PARIS_BENCH_SIZE", "1024"))
     C = int(os.environ.get("PARIS_BENCH_CHUNK", "8"))
     backend = os.environ.get("PARIS_BENCH_BACKEND", "auto")
-    accuracy = os.environ.get("PARIS_BENCH_ACCURACY", "exact")
+    accuracy = os.environ.get("PARIS_BENCH_ACCURACY", "fast")
 
     import jax
     import jax.numpy as jnp
@@ -48,7 +54,7 @@ def main():
     v_band = None
     block_dz = int(os.environ.get("PARIS_BENCH_BLOCK_DZ", "0"))
     if block_dz == 0 and size >= 1024:
-        block_dz = 128
+        block_dz = 256      # v5e A/B: dz 128/256/512/full -> 32/37/36/29 Gupd/s
     if block_dz < 0:
         # full-volume single block: no banding, VMEM-clamped chunk
         C = min(C, max_chunk_size(det, accuracy=accuracy))
@@ -100,7 +106,8 @@ def main():
     hbm_bw = float(os.environ.get("PARIS_HBM_GBPS", "819")) * 1e9  # v5e default
     ceiling_gups = hbm_bw / 8.0 / 1e9
     result = {
-        "metric": f"backprojection_gvoxel_updates_per_s_{vol.dim_x}cube_{rec.backend}",
+        "metric": (f"backprojection_gvoxel_updates_per_s_{vol.dim_x}cube_"
+                   f"{rec.backend}_{accuracy}"),
         "value": round(gups, 2),
         "unit": "Gupd/s/chip",
         "vs_baseline": round(gups / ceiling_gups, 4),
