@@ -344,7 +344,7 @@ def _bp_kernel(
 
         if K <= max(span_w, 2) or window_mode == "direct":
             res = gather_windows(range(K))
-        elif window_mode == "dynamic":
+        elif window_mode in ("dynamic", "dynamic2"):
             # Lowest touched window from SCALAR interval bounds: the
             # tile's x/y/z extents and the geometry give conservative
             # [v_lo, v_hi] without touching a single vector lane.  Any
@@ -370,29 +370,55 @@ def _bp_kernel(
                 jnp.minimum(zs_lo * f_lo, zs_lo * f_hi),
                 jnp.minimum(zs_hi * f_lo, zs_hi * f_hi))
             rel_lo = ((v_mm_lo - grid.v_min) / det.l_px_col - 0.5)
-            k0 = jnp.clip(
-                (jnp.floor(rel_lo).astype(jnp.int32) - vlo - 1) >> 7,
-                0, K - span_w)
-            base = k0 * _LANE
-            relv = v0 - base
-            idx = relv & (_LANE - 1)
-            bucket = relv >> 7
-            if pack:
-                a = jnp.take_along_axis(q_ref[c, k0], idx, axis=1)
-                for j in range(1, span_w):
-                    g = jnp.take_along_axis(q_ref[c, k0 + j], idx, axis=1)
-                    a = jnp.where(bucket == j, g, a)
-                res = a
-            else:
+            k_lo_raw = (jnp.floor(rel_lo).astype(jnp.int32) - vlo - 1) >> 7
+
+            def gather_dyn(k0, nw):
+                base = k0 * _LANE
+                relv = v0 - base
+                idx = relv & (_LANE - 1)
+                bucket = relv >> 7
+                if pack:
+                    a = jnp.take_along_axis(q_ref[c, k0], idx, axis=1)
+                    for j in range(1, nw):
+                        g = jnp.take_along_axis(q_ref[c, k0 + j], idx,
+                                                axis=1)
+                        a = jnp.where(bucket == j, g, a)
+                    return a
                 a0 = jnp.take_along_axis(q_ref[c, k0], idx, axis=1)
                 a1 = jnp.take_along_axis(dq_ref[c, k0], idx, axis=1)
-                for j in range(1, span_w):
+                for j in range(1, nw):
                     m = bucket == j
                     g0 = jnp.take_along_axis(q_ref[c, k0 + j], idx, axis=1)
                     a0 = jnp.where(m, g0, a0)
                     g1 = jnp.take_along_axis(dq_ref[c, k0 + j], idx, axis=1)
                     a1 = jnp.where(m, g1, a1)
-                res = (a0, a1)
+                return a0, a1
+
+            if window_mode == "dynamic" or span_w <= 2:
+                res = gather_dyn(jnp.clip(k_lo_raw, 0, K - span_w), span_w)
+            else:
+                # dynamic2: one SCALAR branch — most tiles' scalar v
+                # interval fits span_w-1 windows, gathering one fewer
+                v_mm_hi = jnp.maximum(
+                    jnp.maximum(zs_lo * f_lo, zs_lo * f_hi),
+                    jnp.maximum(zs_hi * f_lo, zs_hi * f_hi))
+                rel_hi = ((v_mm_hi - grid.v_min) / det.l_px_col - 0.5)
+                k_hi_raw = ((jnp.floor(rel_hi).astype(jnp.int32) - vlo + 2)
+                            >> 7)
+                narrow = (k_hi_raw - k_lo_raw) < (span_w - 1)
+
+                @pl.when(narrow)
+                def _narrow():
+                    store_acc(gather_dyn(
+                        jnp.clip(k_lo_raw, 0, K - (span_w - 1)),
+                        span_w - 1))
+
+                @pl.when(jnp.logical_not(narrow))
+                def _wide():
+                    store_acc(gather_dyn(
+                        jnp.clip(k_lo_raw, 0, K - span_w), span_w))
+
+                res = load_acc()
         else:
             # Only span_w consecutive windows can be touched by this
             # tile (static bound); branch on the runtime lowest valid
@@ -472,7 +498,7 @@ def backproject_chunk_pallas_yxz(
         # v5e 512^3/K=4 C=8 honest A/B (Gupd/s, fast|exact):
         # ladder 15.6|13.1, direct 35.2|19.8, dynamic 40.5|23.1.
         window_mode = os.environ.get("PARIS_BP_WINDOWS", "dynamic")
-    if window_mode not in ("direct", "dynamic", "ladder"):
+    if window_mode not in ("direct", "dynamic", "dynamic2", "ladder"):
         raise ValueError(f"unknown window_mode {window_mode!r}")
     offsets = jnp.asarray(offsets, jnp.int32)
     if offsets.shape[0] == 3:

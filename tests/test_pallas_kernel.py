@@ -149,7 +149,7 @@ def test_pallas_window_modes_match(setup):
     for z0 in (vol.dim_z // 2 - dz // 2, vol.dim_z - dz):
         ref = np.asarray(backproject_chunk_xla(
             vol0, jnp.asarray(projs), sin, cos, grid, z_offset=z0))
-        for mode in ("direct", "dynamic", "ladder"):
+        for mode in ("direct", "dynamic", "dynamic2", "ladder"):
             out = np.asarray(backproject_chunk_pallas(
                 vol0, jnp.asarray(projs), sin, cos, grid, z_offset=z0,
                 interpret=True, window_mode=mode))
