@@ -59,6 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--accuracy", default="exact", choices=["exact", "fast"],
                    help="pallas kernel mode: exact f32, or fast bf16 "
                         "interpolation tables (~2x faster backprojection)")
+    p.add_argument("--trace-dir", default=None,
+                   help="write a jax.profiler trace of the reconstruction here")
     p.add_argument("--resume", action="store_true",
                    help="resume: skip blocks recorded complete in the manifest")
     p.add_argument("--distributed", action="store_true",
@@ -143,6 +145,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         hbm_budget_bytes=(int(args.hbm_budget_gb * (1 << 30))
                           if args.hbm_budget_gb else None),
         resume=args.resume,
+        trace_dir=args.trace_dir,
     )
     try:
         if args.distributed:
