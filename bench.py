@@ -10,9 +10,10 @@ see BASELINE.md), i.e. >1.0 means past the naive per-projection
 streaming bound.
 
 Defaults measure the flagship BASELINE config: 1024-class volume,
-dz=256 banded z-blocks, chunk 8, accuracy "fast" (bf16 interpolation
-tables — the CUDA texture unit's precision class — which passes the
-1e-3 RMSE gate; see BASELINE.md for the exact/fast table).
+dz=512 banded z-blocks (VMEM clamps the chunk to 4), accuracy "fast"
+(bf16 interpolation tables — the CUDA texture unit's precision class —
+which passes the 1e-3 RMSE gate; see BASELINE.md for the exact/fast
+table).
 
 Env knobs: PARIS_BENCH_SIZE (default 1024), PARIS_BENCH_CHUNK (8),
 PARIS_BENCH_BACKEND (pallas|xla), PARIS_BENCH_ACCURACY (fast|exact),
@@ -54,7 +55,9 @@ def main():
     v_band = None
     block_dz = int(os.environ.get("PARIS_BENCH_BLOCK_DZ", "0"))
     if block_dz == 0 and size >= 1024:
-        block_dz = 256      # v5e A/B: dz 128/256/512/full -> 32/37/36/29 Gupd/s
+        # v5e A/B (z_tile=512 kernel): dz 128/256/512/full ->
+        # 36.8/39.4/45.6/29 Gupd/s (dz=512 clamps chunk to 4; still wins)
+        block_dz = 512
     if block_dz < 0:
         # full-volume single block: no banding, VMEM-clamped chunk
         C = min(C, max_chunk_size(det, accuracy=accuracy))

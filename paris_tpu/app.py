@@ -74,9 +74,11 @@ def _perf_block_dz(job: ReconstructionJob, vol_geo: VolumeGeometry,
     a pure efficiency knob: tall blocks need the full detector height in
     VMEM, which clamps the chunk size (volume-HBM amortization); short
     blocks starve the stage-1 Q-scratch reuse (z-tiles per column).
-    Measured on v5e at 1024-class: dz=256 banded (C=8) 37.4 Gupd/s vs
-    dz=128 (C=8) 32.1 — dz=256 keeps >=2 z-tiles per column AND a narrow
-    enough detector-row band for chunk >= 8.
+    Measured on v5e at 1024-class (multi-sub-tile kernel, z_tile=512):
+    dz=512 banded (C=4) 45.6 Gupd/s vs dz=256 (C=8) 39.4 vs dz=128
+    (C=8) 36.8 — deep blocks amortize the stage-1 Q scratch over 4
+    z-sub-tiles per column and the wider detector-row band still leaves
+    chunk >= 4 for volume-HBM amortization.
     """
     import jax as _jax
     if job.backend not in ("pallas", "auto") or \
@@ -85,14 +87,15 @@ def _perf_block_dz(job: ReconstructionJob, vol_geo: VolumeGeometry,
     from .geometry import detector_row_band
     from .pipeline import max_chunk_size
     rz1 = job.roi.z1 if job.roi else 0
-    for dz in (256, 128):
+    for dz, min_chunk in ((512, 4), (256, 8), (128, 8)):
         n_blocks = -(-vol_geo.dim_z // dz)
         band = max(
             (lambda lo_hi: lo_hi[1] - lo_hi[0])(
                 detector_row_band(job.det, full_geo, i * dz + rz1, dz))
             for i in range(n_blocks))
         if band < job.det.n_col and \
-                max_chunk_size(job.det, band, accuracy=job.accuracy) >= 8:
+                max_chunk_size(job.det, band,
+                               accuracy=job.accuracy) >= min_chunk:
             return dz
     return None
 

@@ -46,10 +46,16 @@ two structured interpolations:
         exact mode keeps two f32 gathers).
 
 The volume block lives in (y, x, z) layout — z minor (lanes), x on
-sublanes.  The grid is (y, x-tile, z-tile) with z-tile innermost, so
-each (1, x_tile, 128) volume block is read+written once per chunk of C
+sublanes.  The grid is (y, x-tile, z-step) with z innermost, so each
+(1, x_tile, z_tile) volume block is read+written once per chunk of C
 angles: chunking amortizes volume HBM traffic below the roofline bound
-(BASELINE.md).
+(BASELINE.md).  Each grid step processes z_tile/128 lane-width
+sub-tiles (default z_tile=512): a variant bisection measured the fixed
+per-step cost (grid bookkeeping, stage-1 predication, DMA handshakes)
+at ~25% of the kernel at z_tile=128, and deep steps amortize it —
+512-class fast mode goes 43.4 → 50.2 Gupd/s from z_tile 128 → 512.
+``PARIS_BP_DEBUG_VARIANT`` (1=scratch-read only, 2=no stage 2,
+3=no stage 1, 4=gathers pinned) re-runs that bisection on any config.
 """
 
 from __future__ import annotations
@@ -200,6 +206,8 @@ def _bp_kernel(
     pack: bool,
     window_mode: str,
     den_floor: float,
+    z_tile: int = _LANE,
+    debug_variant: int = 0,
 ):
     if pack:
         q_ref, acc_ref = refs
@@ -246,11 +254,11 @@ def _bp_kernel(
     # The scratch is WINDOW-MAJOR — (C, K, XT, 128) — so stage 2's gathers
     # read whole contiguous tiles instead of lane-slicing a (XT, VP) row
     # at a different 128-offset per z-tile.
-    @pl.when(zt == 0)
+    @pl.when(jnp.logical_and(zt == 0, debug_variant != 3))
     def _stage1():
         band_cols = jax.lax.broadcasted_iota(jnp.int32, (XT, band), 1)
         for c in range(C):
-            safe, factor, _ = per_angle(c)
+            safe, factor, weight = per_angle(c)
             sin_c, cos_c = sin_ref[c], cos_ref[c]
             t = -xs * sin_c + ys * cos_c
             h = (t * factor - grid.h_min) / det.l_px_row - 0.5
@@ -264,8 +272,10 @@ def _bp_kernel(
             # sublane-aligned window start (Mosaic requires multiples of 8)
             b0 = pl.multiple_of((b0 // _SUB) * _SUB, _SUB)
             rel = h0 - b0                                 # (XT, 1)
-            fhw = jnp.where(valid_h, fh, 0.0)
-            one_m = jnp.where(valid_h, 1.0 - fh, 0.0)
+            # FDK weight folded into the one-hot rows ((XT,1) muls are
+            # free here) so stage 2 never multiplies by it per z-tile.
+            fhw = jnp.where(valid_h, fh, 0.0) * weight
+            one_m = jnp.where(valid_h, 1.0 - fh, 0.0) * weight
             W = (jnp.where(band_cols == rel, one_m, 0.0)
                  + jnp.where(band_cols == rel + 1, fhw, 0.0))
             band_rows = proj_ref[c, pl.ds(b0, band), :]    # (band, VP)
@@ -286,181 +296,208 @@ def _bp_kernel(
                     q_ref[c, k] = Q[:, k * _LANE:(k + 1) * _LANE]
                     dq_ref[c, k] = D[:, k * _LANE:(k + 1) * _LANE]
 
-    # ---- stage 2: v-interp + accumulate this (1, XT, LANE) block ---------
-    zidx = (jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
-            + zt * _LANE + z0g)
-    zs = zidx.astype(jnp.float32) * l_vx_z + off_z         # (1, LANE)
-
+    # ---- stage 2: v-interp + accumulate this (1, XT, z_tile) block --------
+    # The block holds z_tile//128 lane-width sub-tiles; processing several
+    # per grid step amortizes the fixed per-step cost (grid bookkeeping,
+    # stage-1 predication, block DMA handshakes) measured at ~25% of the
+    # kernel at z_tile=128.
     K = VP // _LANE
-    total = vol_in_ref[0]                                  # (XT, LANE)
-    for c in range(C):
-        _, factor, weight = per_angle(c)                   # (XT, 1)
-        v = (zs * factor - grid.v_min) / det.l_px_col - 0.5    # (XT, LANE)
-        v0f = jnp.floor(v)
-        fv = v - v0f
-        valid = (v0f >= 0.0) & (v0f + 1.0 <= n_col - 1)
-        v0 = jnp.clip(v0f, -1.0, float(n_col - 1)).astype(jnp.int32) - vlo
+    # v affine chain folded into one broadcast mul + scalar add:
+    #   v_rel = zs * (factor/l_px_col) + (-v_min/l_px_col - 0.5 - vlo)
+    # v0 comes out band-relative, so the gather needs no `- vlo`, and the
+    # validity bounds become band-relative scalars.  No clip: factor and
+    # zs are clamped/bounded, so the int32 conversion can't overflow,
+    # and out-of-range lanes are killed by ``valid`` after the gather.
+    inv_lpx = 1.0 / det.l_px_col
+    vb = (-grid.v_min / det.l_px_col - 0.5) - vlo.astype(jnp.float32)
+    lo_b = -vlo                        # floor(v) >= 0       (band-relative)
+    hi_b = (n_col - 2) - vlo           # floor(v) <= n_col-2
+    if debug_variant == 2:          # stage-1 + grid/DMA overhead only
+        vol_out_ref[0] = vol_in_ref[0]
+        return
+    for z2 in range(z_tile // _LANE):
+        zb = zt * z_tile + z2 * _LANE    # first z index of this sub-tile
+        zidx = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1) + zb + z0g
+        zs = zidx.astype(jnp.float32) * l_vx_z + off_z     # (1, LANE)
+        total = vol_in_ref[0, :, z2 * _LANE:(z2 + 1) * _LANE]
+        for c in range(C):
+            if debug_variant == 1:      # scratch read + accumulate only
+                g = q_ref[c, 0]
+                if pack:
+                    q0, d0 = _unpack_bf16_pair(g)
+                    total = total + q0 + d0
+                else:
+                    total = total + g
+                continue
+            _, factor, _ = per_angle(c)                        # (XT, 1)
+            v = zs * (factor * inv_lpx) + vb                   # (XT, LANE)
+            v0f = jnp.floor(v)
+            fv = v - v0f
+            v0 = v0f.astype(jnp.int32)
+            valid = (v0 >= lo_b) & (v0 <= hi_b)
 
-        def gather_windows(kws):
-            """Gather base value and forward difference at v0.
+            def gather_windows(kws):
+                """Gather base value and forward difference at v0.
 
-            Windows are 128-aligned and consecutive, so the in-window
-            index is just (v0 - base) & 127 shared by every window, and
-            one bucket compare per extra window merges the results.
-            Out-of-range voxels land on garbage lanes and are killed by
-            the final ``valid`` mask.  Returns packed int32 when
-            ``pack`` else an (a0, a1) f32 pair.
-            """
-            base = kws[0] * _LANE
-            relv = v0 - base
-            idx = relv & (_LANE - 1)
-            bucket = relv >> 7                    # log2(_LANE)
-            if pack:
-                a = jnp.take_along_axis(q_ref[c, kws[0]], idx, axis=1)
-                for j, k in enumerate(kws[1:], start=1):
-                    g = jnp.take_along_axis(q_ref[c, k], idx, axis=1)
-                    a = jnp.where(bucket == j, g, a)
-                return a
-            a0 = jnp.take_along_axis(q_ref[c, kws[0]], idx, axis=1)
-            a1 = jnp.take_along_axis(dq_ref[c, kws[0]], idx, axis=1)
-            for j, k in enumerate(kws[1:], start=1):
-                m = bucket == j
-                g0 = jnp.take_along_axis(q_ref[c, k], idx, axis=1)
-                a0 = jnp.where(m, g0, a0)
-                g1 = jnp.take_along_axis(dq_ref[c, k], idx, axis=1)
-                a1 = jnp.where(m, g1, a1)
-            return a0, a1
-
-        def store_acc(res):
-            if pack:
-                acc_ref[0] = res
-            else:
-                acc_ref[0], acc_ref[1] = res
-
-        def load_acc():
-            if pack:
-                return acc_ref[0]
-            return acc_ref[0], acc_ref[1]
-
-        if K <= max(span_w, 2) or window_mode == "direct":
-            res = gather_windows(range(K))
-        elif window_mode in ("dynamic", "dynamic2"):
-            # Lowest touched window from SCALAR interval bounds: the
-            # tile's x/y/z extents and the geometry give conservative
-            # [v_lo, v_hi] without touching a single vector lane.  Any
-            # voxel inside the trace-time radius bound has
-            # denom >= den_floor, so clamping there keeps f_hi a
-            # valid upper bound for every voxel ``safe`` doesn't kill;
-            # interval width <= the same span that sizes span_w, so
-            # span_w windows from k0 always cover the valid voxels
-            # (out-of-cover lanes are killed by the ``valid`` mask).
-            sin_c, cos_c = sin_ref[c], cos_ref[c]
-            xs_lo = (xt * XT + rx1).astype(jnp.float32) * l_vx_x + off_x
-            xs_hi = xs_lo + (XT - 1) * l_vx_x
-            ys_s = (y + ry1).astype(jnp.float32) * l_vx_y + off_y
-            s1 = xs_lo * cos_c + ys_s * sin_c
-            s2 = xs_hi * cos_c + ys_s * sin_c
-            den_lo = jnp.maximum(jnp.minimum(s1, s2) + d_so, den_floor)
-            den_hi = jnp.maximum(jnp.maximum(s1, s2) + d_so, den_lo)
-            f_hi = d_sd / den_lo
-            f_lo = d_sd / den_hi
-            zs_lo = (zt * _LANE + z0g).astype(jnp.float32) * l_vx_z + off_z
-            zs_hi = zs_lo + (_LANE - 1) * l_vx_z
-            v_mm_lo = jnp.minimum(
-                jnp.minimum(zs_lo * f_lo, zs_lo * f_hi),
-                jnp.minimum(zs_hi * f_lo, zs_hi * f_hi))
-            rel_lo = ((v_mm_lo - grid.v_min) / det.l_px_col - 0.5)
-            k_lo_raw = (jnp.floor(rel_lo).astype(jnp.int32) - vlo - 1) >> 7
-
-            def gather_dyn(k0, nw):
-                base = k0 * _LANE
+                Windows are 128-aligned and consecutive, so the in-window
+                index is just (v0 - base) & 127 shared by every window, and
+                one bucket compare per extra window merges the results.
+                Out-of-range voxels land on garbage lanes and are killed by
+                the final ``valid`` mask.  Returns packed int32 when
+                ``pack`` else an (a0, a1) f32 pair.
+                """
+                base = kws[0] * _LANE
                 relv = v0 - base
                 idx = relv & (_LANE - 1)
-                bucket = relv >> 7
+                bucket = relv >> 7                    # log2(_LANE)
                 if pack:
-                    a = jnp.take_along_axis(q_ref[c, k0], idx, axis=1)
-                    for j in range(1, nw):
-                        g = jnp.take_along_axis(q_ref[c, k0 + j], idx,
-                                                axis=1)
+                    a = jnp.take_along_axis(q_ref[c, kws[0]], idx, axis=1)
+                    for j, k in enumerate(kws[1:], start=1):
+                        g = jnp.take_along_axis(q_ref[c, k], idx, axis=1)
                         a = jnp.where(bucket == j, g, a)
                     return a
-                a0 = jnp.take_along_axis(q_ref[c, k0], idx, axis=1)
-                a1 = jnp.take_along_axis(dq_ref[c, k0], idx, axis=1)
-                for j in range(1, nw):
+                a0 = jnp.take_along_axis(q_ref[c, kws[0]], idx, axis=1)
+                a1 = jnp.take_along_axis(dq_ref[c, kws[0]], idx, axis=1)
+                for j, k in enumerate(kws[1:], start=1):
                     m = bucket == j
-                    g0 = jnp.take_along_axis(q_ref[c, k0 + j], idx, axis=1)
+                    g0 = jnp.take_along_axis(q_ref[c, k], idx, axis=1)
                     a0 = jnp.where(m, g0, a0)
-                    g1 = jnp.take_along_axis(dq_ref[c, k0 + j], idx, axis=1)
+                    g1 = jnp.take_along_axis(dq_ref[c, k], idx, axis=1)
                     a1 = jnp.where(m, g1, a1)
                 return a0, a1
 
-            if window_mode == "dynamic" or span_w <= 2:
-                res = gather_dyn(jnp.clip(k_lo_raw, 0, K - span_w), span_w)
+            def store_acc(res):
+                if pack:
+                    acc_ref[0] = res
+                else:
+                    acc_ref[0], acc_ref[1] = res
+
+            def load_acc():
+                if pack:
+                    return acc_ref[0]
+                return acc_ref[0], acc_ref[1]
+
+            if debug_variant == 4:      # v compute + interp, gathers pinned
+                res = q_ref[c, 0] if pack else (q_ref[c, 0], dq_ref[c, 0])
+            elif K <= max(span_w, 2) or window_mode == "direct":
+                res = gather_windows(range(K))
+            elif window_mode in ("dynamic", "dynamic2"):
+                # Lowest touched window from SCALAR interval bounds: the
+                # tile's x/y/z extents and the geometry give conservative
+                # [v_lo, v_hi] without touching a single vector lane.  Any
+                # voxel inside the trace-time radius bound has
+                # denom >= den_floor, so clamping there keeps f_hi a
+                # valid upper bound for every voxel ``safe`` doesn't kill;
+                # interval width <= the same span that sizes span_w, so
+                # span_w windows from k0 always cover the valid voxels
+                # (out-of-cover lanes are killed by the ``valid`` mask).
+                sin_c, cos_c = sin_ref[c], cos_ref[c]
+                xs_lo = (xt * XT + rx1).astype(jnp.float32) * l_vx_x + off_x
+                xs_hi = xs_lo + (XT - 1) * l_vx_x
+                ys_s = (y + ry1).astype(jnp.float32) * l_vx_y + off_y
+                s1 = xs_lo * cos_c + ys_s * sin_c
+                s2 = xs_hi * cos_c + ys_s * sin_c
+                den_lo = jnp.maximum(jnp.minimum(s1, s2) + d_so, den_floor)
+                den_hi = jnp.maximum(jnp.maximum(s1, s2) + d_so, den_lo)
+                f_hi = d_sd / den_lo
+                f_lo = d_sd / den_hi
+                zs_lo = (zb + z0g).astype(jnp.float32) * l_vx_z + off_z
+                zs_hi = zs_lo + (_LANE - 1) * l_vx_z
+                v_mm_lo = jnp.minimum(
+                    jnp.minimum(zs_lo * f_lo, zs_lo * f_hi),
+                    jnp.minimum(zs_hi * f_lo, zs_hi * f_hi))
+                rel_lo = ((v_mm_lo - grid.v_min) / det.l_px_col - 0.5)
+                k_lo_raw = (jnp.floor(rel_lo).astype(jnp.int32) - vlo - 1) >> 7
+
+                def gather_dyn(k0, nw):
+                    base = k0 * _LANE
+                    relv = v0 - base
+                    idx = relv & (_LANE - 1)
+                    bucket = relv >> 7
+                    if pack:
+                        a = jnp.take_along_axis(q_ref[c, k0], idx, axis=1)
+                        for j in range(1, nw):
+                            g = jnp.take_along_axis(q_ref[c, k0 + j], idx,
+                                                    axis=1)
+                            a = jnp.where(bucket == j, g, a)
+                        return a
+                    a0 = jnp.take_along_axis(q_ref[c, k0], idx, axis=1)
+                    a1 = jnp.take_along_axis(dq_ref[c, k0], idx, axis=1)
+                    for j in range(1, nw):
+                        m = bucket == j
+                        g0 = jnp.take_along_axis(q_ref[c, k0 + j], idx, axis=1)
+                        a0 = jnp.where(m, g0, a0)
+                        g1 = jnp.take_along_axis(dq_ref[c, k0 + j], idx, axis=1)
+                        a1 = jnp.where(m, g1, a1)
+                    return a0, a1
+
+                if window_mode == "dynamic" or span_w <= 2:
+                    res = gather_dyn(jnp.clip(k_lo_raw, 0, K - span_w), span_w)
+                else:
+                    # dynamic2: one SCALAR branch — most tiles' scalar v
+                    # interval fits span_w-1 windows, gathering one fewer
+                    v_mm_hi = jnp.maximum(
+                        jnp.maximum(zs_lo * f_lo, zs_lo * f_hi),
+                        jnp.maximum(zs_hi * f_lo, zs_hi * f_hi))
+                    rel_hi = ((v_mm_hi - grid.v_min) / det.l_px_col - 0.5)
+                    k_hi_raw = ((jnp.floor(rel_hi).astype(jnp.int32) - vlo + 2)
+                                >> 7)
+                    narrow = (k_hi_raw - k_lo_raw) < (span_w - 1)
+
+                    @pl.when(narrow)
+                    def _narrow():
+                        store_acc(gather_dyn(
+                            jnp.clip(k_lo_raw, 0, K - (span_w - 1)),
+                            span_w - 1))
+
+                    @pl.when(jnp.logical_not(narrow))
+                    def _wide():
+                        store_acc(gather_dyn(
+                            jnp.clip(k_lo_raw, 0, K - span_w), span_w))
+
+                    res = load_acc()
             else:
-                # dynamic2: one SCALAR branch — most tiles' scalar v
-                # interval fits span_w-1 windows, gathering one fewer
-                v_mm_hi = jnp.maximum(
-                    jnp.maximum(zs_lo * f_lo, zs_lo * f_hi),
-                    jnp.maximum(zs_hi * f_lo, zs_hi * f_hi))
-                rel_hi = ((v_mm_hi - grid.v_min) / det.l_px_col - 0.5)
-                k_hi_raw = ((jnp.floor(rel_hi).astype(jnp.int32) - vlo + 2)
-                            >> 7)
-                narrow = (k_hi_raw - k_lo_raw) < (span_w - 1)
+                # Only span_w consecutive windows can be touched by this
+                # tile (static bound); branch on the runtime lowest valid
+                # window so one predicated branch executes.  Most tiles
+                # touch just 2 consecutive windows — detect that at runtime
+                # and dispatch to the cheaper 2-window branches.
+                vmin = jnp.clip(jnp.min(jnp.where(valid, v0, VP - 1)), 0, VP - 1)
+                vmax = jnp.clip(jnp.max(jnp.where(valid, v0, 0)), 0, VP - 2)
+                kspan = (vmax >> 7) - (vmin >> 7) + 1
 
-                @pl.when(narrow)
-                def _narrow():
-                    store_acc(gather_dyn(
-                        jnp.clip(k_lo_raw, 0, K - (span_w - 1)),
-                        span_w - 1))
+                if span_w > 2:
+                    kb2 = jnp.clip(vmin >> 7, 0, K - 2)
 
-                @pl.when(jnp.logical_not(narrow))
-                def _wide():
-                    store_acc(gather_dyn(
-                        jnp.clip(k_lo_raw, 0, K - span_w), span_w))
+                    @pl.when(kspan <= 2)
+                    def _fast2():
+                        for k0 in range(K - 1):
+                            @pl.when(kb2 == k0)
+                            def _(k0=k0):
+                                store_acc(gather_windows(range(k0, k0 + 2)))
 
-                res = load_acc()
-        else:
-            # Only span_w consecutive windows can be touched by this
-            # tile (static bound); branch on the runtime lowest valid
-            # window so one predicated branch executes.  Most tiles
-            # touch just 2 consecutive windows — detect that at runtime
-            # and dispatch to the cheaper 2-window branches.
-            vmin = jnp.clip(jnp.min(jnp.where(valid, v0, VP - 1)), 0, VP - 1)
-            vmax = jnp.clip(jnp.max(jnp.where(valid, v0, 0)), 0, VP - 2)
-            kspan = (vmax >> 7) - (vmin >> 7) + 1
+                    kb = jnp.clip(vmin >> 7, 0, K - span_w)
 
-            if span_w > 2:
-                kb2 = jnp.clip(vmin >> 7, 0, K - 2)
-
-                @pl.when(kspan <= 2)
-                def _fast2():
+                    @pl.when(kspan > 2)
+                    def _full():
+                        for k0 in range(K - span_w + 1):
+                            @pl.when(kb == k0)
+                            def _(k0=k0):
+                                store_acc(gather_windows(range(k0, k0 + span_w)))
+                else:
+                    kb2 = jnp.clip(vmin >> 7, 0, K - 2)
                     for k0 in range(K - 1):
                         @pl.when(kb2 == k0)
                         def _(k0=k0):
                             store_acc(gather_windows(range(k0, k0 + 2)))
+                res = load_acc()
 
-                kb = jnp.clip(vmin >> 7, 0, K - span_w)
-
-                @pl.when(kspan > 2)
-                def _full():
-                    for k0 in range(K - span_w + 1):
-                        @pl.when(kb == k0)
-                        def _(k0=k0):
-                            store_acc(gather_windows(range(k0, k0 + span_w)))
+            if pack:
+                q0, d0 = _unpack_bf16_pair(res)
             else:
-                kb2 = jnp.clip(vmin >> 7, 0, K - 2)
-                for k0 in range(K - 1):
-                    @pl.when(kb2 == k0)
-                    def _(k0=k0):
-                        store_acc(gather_windows(range(k0, k0 + 2)))
-            res = load_acc()
-
-        if pack:
-            q0, d0 = _unpack_bf16_pair(res)
-        else:
-            q0, d0 = res
-        total = total + jnp.where(valid, weight * (q0 + fv * d0), 0.0)
-    vol_out_ref[0] = total
+                q0, d0 = res
+            total = total + jnp.where(valid, q0 + fv * d0, 0.0)
+        vol_out_ref[0, :, z2 * _LANE:(z2 + 1) * _LANE] = total
 
 
 def backproject_chunk_pallas_yxz(
@@ -476,6 +513,7 @@ def backproject_chunk_pallas_yxz(
     pack_qdq: Optional[bool] = None,
     x_tile: Optional[int] = None,
     window_mode: Optional[str] = None,   # "direct" | "dynamic" | "ladder"
+    z_tile: Optional[int] = None,
 ) -> jnp.ndarray:
     """Accumulate C projections into a kernel-layout volume block.
 
@@ -505,6 +543,12 @@ def backproject_chunk_pallas_yxz(
         offsets = jnp.concatenate([offsets, jnp.zeros((1,), jnp.int32)])
     ny, nxp, nzp = volume_yxz.shape
     C, HP, VP = proj_t.shape
+    if z_tile is None:
+        # v5e A/B (Gupd/s, fast): 512-class 43.4/46.6/50.2 and 1024-class
+        # dz512 45.6 at z_tile 128/256/512 — deep steps win everywhere.
+        z_tile = int(os.environ.get("PARIS_BP_ZTILE", "512"))
+    while nzp % z_tile:      # shallow blocks fall back to lane-width steps
+        z_tile //= 2
     assert nxp % _LANE == 0 and nzp % _LANE == 0, (nxp, nzp)
     assert nxp % x_tile == 0, (nxp, x_tile)
     assert VP % _LANE == 0, VP
@@ -524,7 +568,8 @@ def backproject_chunk_pallas_yxz(
     kern = functools.partial(
         _bp_kernel, grid=grid, C=C, HP=HP, VP=VP, band=band,
         mm_precision=precision, span_w=span_w, x_tile=x_tile, pack=pack_qdq,
-        window_mode=window_mode, den_floor=den_floor)
+        window_mode=window_mode, den_floor=den_floor, z_tile=z_tile,
+        debug_variant=int(os.environ.get("PARIS_BP_DEBUG_VARIANT", "0")))
 
     K = VP // _LANE
     if pack_qdq:
@@ -535,7 +580,7 @@ def backproject_chunk_pallas_yxz(
                    pltpu.VMEM((C, K, x_tile, _LANE), jnp.float32),
                    pltpu.VMEM((2, x_tile, _LANE), jnp.float32)]
 
-    pgrid = (ny, nxp // x_tile, nzp // _LANE)
+    pgrid = (ny, nxp // x_tile, nzp // z_tile)
     return pl.pallas_call(
         kern,
         grid=pgrid,
@@ -545,10 +590,10 @@ def backproject_chunk_pallas_yxz(
             pl.BlockSpec(memory_space=pltpu.SMEM),     # offsets
             pl.BlockSpec((C, HP, VP), lambda y, xt, zt: (0, 0, 0),
                          memory_space=pltpu.VMEM),     # proj_t
-            pl.BlockSpec((1, x_tile, _LANE), lambda y, xt, zt: (y, xt, zt),
+            pl.BlockSpec((1, x_tile, z_tile), lambda y, xt, zt: (y, xt, zt),
                          memory_space=pltpu.VMEM),     # vol in
         ],
-        out_specs=pl.BlockSpec((1, x_tile, _LANE),
+        out_specs=pl.BlockSpec((1, x_tile, z_tile),
                                lambda y, xt, zt: (y, xt, zt),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ny, nxp, nzp), jnp.float32),
