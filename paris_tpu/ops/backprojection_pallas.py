@@ -131,12 +131,21 @@ def from_kernel_layout(vol_yxz: jnp.ndarray, shape_zyx: Tuple[int, int, int]
     return jnp.transpose(vol_yxz[:ny, :nx, :dz], (2, 0, 1))
 
 
-def pad_projections_t(projections: jnp.ndarray) -> jnp.ndarray:
-    """(C, n_col, n_row) -> transposed padded (C, HP, VP): axis1=h, axis2=v."""
+def pad_projections_t(projections: jnp.ndarray,
+                      dtype=jnp.float32) -> jnp.ndarray:
+    """(C, n_col, n_row) -> transposed padded (C, HP, VP): axis1=h, axis2=v.
+
+    ``dtype=bfloat16`` halves the kernel's dominant VMEM term (the
+    resident projection band), letting the caller run ~2x larger chunks;
+    the stage-1 matmul then runs with native bf16 MXU inputs.  Same
+    precision class as the CUDA texture unit's reduced-precision
+    bilinear path — the pipeline's "fast" accuracy mode.
+    """
     C, n_col, n_row = projections.shape
     pt = jnp.transpose(projections, (0, 2, 1))
-    return jnp.pad(pt, ((0, 0), (0, _round_up(n_row, _SUB) - n_row),
-                        (0, _round_up(n_col, _LANE) - n_col)))
+    pt = jnp.pad(pt, ((0, 0), (0, _round_up(n_row, _SUB) - n_row),
+                      (0, _round_up(n_col, _LANE) - n_col)))
+    return pt.astype(dtype)
 
 
 def _v_stride_bound(grid: BpGrid) -> float:
@@ -279,6 +288,8 @@ def _bp_kernel(
             W = (jnp.where(band_cols == rel, one_m, 0.0)
                  + jnp.where(band_cols == rel + 1, fhw, 0.0))
             band_rows = proj_ref[c, pl.ds(b0, band), :]    # (band, VP)
+            if band_rows.dtype == jnp.bfloat16:
+                W = W.astype(jnp.bfloat16)     # native bf16 MXU pass
             Q = jax.lax.dot_general(
                 W, band_rows, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

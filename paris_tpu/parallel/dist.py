@@ -137,11 +137,15 @@ class DistributedReconstructor:
             self._vp = vp_full if v_band_width is None else \
                 min(vp_full, _round_up(v_band_width, 128))
 
+            proj_dtype = (jnp.bfloat16 if accuracy == "fast"
+                          else jnp.float32)
+
             def shard_step(volume, chunk, sin_phi, cos_phi, offs):
-                # volume: (local_ny, nxp, nzp)
+                # volume: (local_ny, nxp, nzp); fast mode gathers bf16 —
+                # half the ICI broadcast bytes and half the VMEM band
                 filtered = filter_projections(
                     chunk * self._weights, self._spectrum, det.n_row)
-                proj_t = bpp.pad_projections_t(filtered)
+                proj_t = bpp.pad_projections_t(filtered, proj_dtype)
                 if self._vp < vp_full:
                     # band BEFORE the all-gather: the ICI broadcast only
                     # carries the detector rows this z-block can sample

@@ -53,7 +53,14 @@ def max_chunk_size(det: DetectorGeometry, v_band_width=None,
     vp = rup(det.n_col, 128) if v_band_width is None else \
         min(rup(det.n_col, 128), rup(v_band_width, 128))
     hp = rup(det.n_row, 8)
-    return max(1, budget_bytes // (4 * vp * (hp + _scratch_rows(accuracy))))
+    pb = _proj_bytes(accuracy)
+    return max(1, budget_bytes
+               // (vp * (pb * hp + 4 * _scratch_rows(accuracy))))
+
+
+def _proj_bytes(accuracy: str) -> int:
+    """Bytes per resident projection sample (fast mode holds bf16)."""
+    return 2 if accuracy == "fast" else 4
 
 
 def _scratch_rows(accuracy: str) -> int:
@@ -120,10 +127,11 @@ class Reconstructor:
             # alongside the volume block and pipeline buffers (~16MB/core)
             hp = bpp._round_up(det.n_row, 8)
             srows = _scratch_rows(accuracy)
-            vmem_est = 4 * self.chunk_size * self._vp * (hp + srows)
+            pb = _proj_bytes(accuracy)
+            vmem_est = self.chunk_size * self._vp * (pb * hp + 4 * srows)
             budget = 12 << 20
             if vmem_est > budget:
-                max_c = max(1, budget // (4 * self._vp * (hp + srows)))
+                max_c = max(1, budget // (self._vp * (pb * hp + 4 * srows)))
                 raise ValueError(
                     f"chunk_size {self.chunk_size} needs ~{vmem_est >> 20}MB "
                     f"VMEM for a {hp}x{self._vp} projection band; reduce "
@@ -131,11 +139,13 @@ class Reconstructor:
             mm_prec = (jax.lax.Precision.DEFAULT if accuracy == "fast"
                        else jax.lax.Precision.HIGHEST)
 
+            proj_dtype = jnp.bfloat16 if accuracy == "fast" else jnp.float32
+
             @functools.partial(jax.jit, donate_argnums=(0,))
             def _step(volume_yxz, chunk, sin_phi, cos_phi, offs):
                 filtered = preprocess_chunk(
                     chunk, self._weights, self._spectrum, det.n_row)
-                proj_t = bpp.pad_projections_t(filtered)
+                proj_t = bpp.pad_projections_t(filtered, proj_dtype)
                 if self._vp < vp_full:
                     proj_t = jax.lax.dynamic_slice(
                         proj_t, (0, 0, offs[3]),

@@ -208,3 +208,28 @@ def test_pallas_fast_mode_accuracy(setup):
     scale = np.abs(ref).max()
     assert np.abs(fast - ref).max() / scale < 2e-2
     assert np.sqrt(np.mean((fast - ref) ** 2)) / scale < 2e-3
+
+
+def test_pallas_fast_bf16_projection_band(setup):
+    """Fast mode's bf16-resident projection band stays in the same
+    error class (DEFAULT matmul precision already truncates the MXU
+    inputs to bf16, so storing the band in bf16 costs ~nothing extra
+    while halving VMEM -> 2x chunk size)."""
+    import jax
+    from paris_tpu.ops import backprojection_pallas as bpp
+    det, vol, grid, projs, phi = setup
+    sin, cos = jnp.sin(jnp.asarray(phi)), jnp.cos(jnp.asarray(phi))
+    vol0 = jnp.zeros((vol.dim_z, vol.dim_y, vol.dim_x), jnp.float32)
+    ref = np.asarray(backproject_chunk_xla(
+        vol0, jnp.asarray(projs), sin, cos, grid))
+    vk = bpp.to_kernel_layout(vol0)
+    pt = bpp.pad_projections_t(jnp.asarray(projs), jnp.bfloat16)
+    assert pt.dtype == jnp.bfloat16
+    offs = jnp.zeros((4,), jnp.int32)
+    out = bpp.backproject_chunk_pallas_yxz(
+        vk, pt, sin, cos, grid, offs, interpret=True,
+        precision=jax.lax.Precision.DEFAULT, pack_qdq=True)
+    out = np.asarray(bpp.from_kernel_layout(out, vol0.shape))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() / scale < 2e-2
+    assert np.sqrt(np.mean((out - ref) ** 2)) / scale < 2e-3
