@@ -100,6 +100,41 @@ def _perf_block_dz(job: ReconstructionJob, vol_geo: VolumeGeometry,
     return None
 
 
+def _auto_hbm_budget() -> Optional[int]:
+    """Default per-device volume-block budget from live device memory.
+
+    TPU-native analog of the reference's memory probe
+    (src/cuda/subvolume_information.cpp:72-109: free-memory query +
+    ``vol + 10*proj`` model + confirming test allocation): XLA exposes
+    ``bytes_limit``/``bytes_in_use`` per device, so the budget is
+    deterministic — no trial allocation loop.  Returns ~45% of free HBM
+    because the block is materialized twice at finalize (kernel-layout
+    accumulator + transposed output copy) plus XLA temps; projection
+    residency is subtracted separately by ``plan_z_blocks``.
+    Returns None (single whole-volume block) when the platform reports
+    no memory stats (e.g. CPU).
+    """
+    import jax as _jax
+    try:
+        stats = _jax.local_devices()[0].memory_stats() or {}
+    except Exception:                     # backends without stats support
+        return None
+    limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+    if not limit:
+        return None
+    free = int(limit) - int(stats.get("bytes_in_use", 0))
+    budget = int(free * 0.45)
+    return budget if budget > 0 else None
+
+
+def _budget_max_dz(hbm_budget: int, proj_buffer_bytes: int,
+                   vol_geo: VolumeGeometry, align: int = 8) -> int:
+    """Largest z-block extent fitting the budget (aligned, >= align)."""
+    usable = hbm_budget - proj_buffer_bytes
+    slice_bytes = 4 * vol_geo.dim_x * vol_geo.dim_y
+    return max(align, (usable // slice_bytes // align) * align)
+
+
 def _roi_offset(job: ReconstructionJob) -> Tuple[int, int, int]:
     if job.roi is None:
         return (0, 0, 0)
@@ -138,13 +173,24 @@ def _run_job(job: ReconstructionJob) -> str:
                     vol_geo.dim_x, vol_geo.dim_y, vol_geo.dim_z)
 
     proj_bytes = 4 * job.det.n_row * job.det.n_col
+    proj_buffer = 4 * proj_bytes * job.chunk_size
+    hbm_budget = job.hbm_budget_bytes
+    if hbm_budget is None:
+        hbm_budget = _auto_hbm_budget()
+        if hbm_budget is not None:
+            logger.info("auto HBM budget: %.1f GB per device",
+                        hbm_budget / 2**30)
     block_dz = job.block_dz
     if block_dz is None:
         block_dz = _perf_block_dz(job, vol_geo, full_geo)
+        if block_dz is not None and hbm_budget is not None:
+            # the perf-derived extent must still fit device memory
+            block_dz = min(block_dz,
+                           _budget_max_dz(hbm_budget, proj_buffer, vol_geo))
     info = plan_z_blocks(
         vol_geo,
-        hbm_budget_bytes=job.hbm_budget_bytes,
-        proj_buffer_bytes=4 * proj_bytes * job.chunk_size,
+        hbm_budget_bytes=hbm_budget,
+        proj_buffer_bytes=proj_buffer,
         block_dz=block_dz,
     )
     logger.info("z-split: %d block(s) of %d slices (padded)",
@@ -214,8 +260,10 @@ def _run_job(job: ReconstructionJob) -> str:
                     block.z0 + block.dim_z - 1)
         volume = rec.init_block()
         n_proj = 0
+        # rate counts VALID voxels only (padded tail slices are compute
+        # overhead, not useful updates)
         meter = ThroughputMeter(
-            info.dim_z_padded * vol_geo.dim_y * vol_geo.dim_x)
+            block.dim_z * vol_geo.dim_y * vol_geo.dim_x)
         with timers.time("reconstruct"), trace(job.trace_dir):
             if cached is not None:
                 data, angs = cached

@@ -28,7 +28,8 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["create", "open_meta", "write_slices", "read_slices", "read_volume",
+__all__ = ["create", "open_meta", "write_slices", "write_subrows",
+           "read_slices", "read_volume",
            "DDBVF_MAGIC", "DDBVF_VERSION", "DATA_START"]
 
 DDBVF_MAGIC = 0xEFDDDAFA
@@ -81,7 +82,7 @@ def write_slices(path: str, volume: np.ndarray, first: int) -> None:
         raise DdbvfFormatError(
             f"block {vx}x{vy}x{dz} incompatible with file {dim_x}x{dim_y}x{dim_z}"
         )
-    if first >= dim_z or first + dz > dim_z:
+    if first < 0 or first >= dim_z or first + dz > dim_z:
         raise DdbvfFormatError(f"slice range [{first}, {first + dz}) out of bounds")
     from . import native
     if native.available():
@@ -94,6 +95,42 @@ def write_slices(path: str, volume: np.ndarray, first: int) -> None:
         written = 0
         while written < len(payload):
             written += os.pwrite(fd, payload[written:], offset + written)
+    finally:
+        os.close(fd)
+
+
+def write_subrows(path: str, block: np.ndarray, first_z: int, first_y: int
+                  ) -> None:
+    """Write a (dz, ny_part, dim_x) y-slab at (slice ``first_z``, row
+    ``first_y``) — one contiguous pwrite per z slice.
+
+    This is the multi-host write primitive for the Pallas backend's
+    y-sharded volume state: each host writes only the detector rows it
+    owns, at their global offsets, with no gather and no lock (disjoint
+    ranges; the reference serialized all writers behind a mutex,
+    sink.cpp:79-81).
+    """
+    dim_x, dim_y, dim_z = open_meta(path)
+    dz, ny_part, vx = block.shape
+    if vx != dim_x:
+        raise DdbvfFormatError(
+            f"block x extent {vx} incompatible with file dim_x {dim_x}")
+    if first_y < 0 or first_y + ny_part > dim_y:
+        raise DdbvfFormatError(
+            f"row range [{first_y}, {first_y + ny_part}) out of bounds")
+    if first_z < 0 or first_z + dz > dim_z:
+        raise DdbvfFormatError(
+            f"slice range [{first_z}, {first_z + dz}) out of bounds")
+    block = np.ascontiguousarray(block, dtype="<f4")
+    row_bytes = 4 * dim_x
+    fd = os.open(path, os.O_WRONLY)
+    try:
+        for z in range(dz):
+            buf = block[z].tobytes()
+            offset = DATA_START + row_bytes * ((first_z + z) * dim_y + first_y)
+            written = 0
+            while written < len(buf):
+                written += os.pwrite(fd, buf[written:], offset + written)
     finally:
         os.close(fd)
 

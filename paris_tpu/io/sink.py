@@ -47,6 +47,30 @@ class VolumeSink:
             ddbvf.create(self.path, dim_x, dim_y, dim_z)
             self._write_manifest()
 
+    @classmethod
+    def attach(cls, output_dir: str, prefix: str, dim_x: int, dim_y: int,
+               dim_z: int) -> "VolumeSink":
+        """Open an EXISTING sink without truncating (multi-host followers).
+
+        On a pod, process 0 creates the shared ddbvf and every other
+        process attaches after a barrier; all of them then write their
+        own disjoint shard ranges.
+        """
+        self = cls.__new__(cls)
+        self.path = os.path.join(output_dir, f"{prefix}.ddbvf")
+        self.manifest_path = self.path + ".manifest.json"
+        self.dims = (dim_x, dim_y, dim_z)
+        self._done = set()
+        if ddbvf.open_meta(self.path) != self.dims:
+            raise ValueError(
+                f"existing {self.path} has different dimensions")
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                m = json.load(f)
+            if tuple(m.get("dims", ())) == self.dims:
+                self._done = set(m.get("completed_blocks", []))
+        return self
+
     def _write_manifest(self):
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as f:
@@ -61,6 +85,10 @@ class VolumeSink:
                     ) -> None:
         """Write a (dz, dim_y, dim_x) block at global slice z0; mark done."""
         ddbvf.write_slices(self.path, volume, z0)
+        self.mark_done(block_index)
+
+    def mark_done(self, block_index: int) -> None:
+        """Record block completion (data written through another path)."""
         self._done.add(block_index)
         self._write_manifest()
 

@@ -84,12 +84,24 @@ __all__ = [
 
 _LANE = 128
 _SUB = 8
+_SUB_BF16 = 16       # bf16 native sublane tiling is (16, 128)
 _BAND = 256          # max supported h-band (VMEM / W-matrix width cap)
 _XTILE = 64          # default x-tile (sublane) size, band fits one MXU tile
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _sublane(dtype) -> int:
+    """Sublane quantum for dynamic second-minor slices of this dtype.
+
+    Mosaic requires dynamic sublane offsets/extents aligned to the
+    dtype's native tile: (8, 128) for f32 but (16, 128) for bf16 — an
+    8-but-not-16-aligned bf16 slice may be rejected or mislowered on
+    hardware (interpret mode doesn't catch it).
+    """
+    return _SUB_BF16 if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16) else _SUB
 
 
 def _span_bound_px(grid: BpGrid) -> float:
@@ -102,19 +114,23 @@ def _span_bound_px(grid: BpGrid) -> float:
                                                   (abs(grid.d_so) - r))
 
 
-def _h_band_px(grid: BpGrid, x_tile: int) -> int:
+def _h_band_px(grid: BpGrid, x_tile: int, sub: int = _SUB) -> int:
     """Tight h-interpolation band for one x-tile (sublane-aligned).
 
     margin: bilinear corner (+2), sublane quantization of the band
-    start (+8), floor slack (+2).
+    start (+``sub``: 8 for f32, 16 for bf16), floor slack (+2).
     """
-    need = (x_tile - 1) * _span_bound_px(grid) + 12.0
-    return _round_up(int(math.ceil(need)), _SUB)
+    need = (x_tile - 1) * _span_bound_px(grid) + 4.0 + sub
+    return _round_up(int(math.ceil(need)), sub)
 
 
 def pallas_supported(grid: BpGrid, x_tile: int = _XTILE) -> bool:
-    """The banded h-interp requires the x-tile's h span to fit the band."""
-    return _h_band_px(grid, x_tile) <= _BAND
+    """The banded h-interp requires the x-tile's h span to fit the band.
+
+    Checked against the widest (bf16) sublane quantum so one answer
+    covers both accuracy modes.
+    """
+    return _h_band_px(grid, x_tile, _SUB_BF16) <= _BAND
 
 
 def to_kernel_layout(vol_zyx: jnp.ndarray) -> jnp.ndarray:
@@ -142,8 +158,9 @@ def pad_projections_t(projections: jnp.ndarray,
     bilinear path — the pipeline's "fast" accuracy mode.
     """
     C, n_col, n_row = projections.shape
+    sub = _sublane(jnp.dtype(dtype))
     pt = jnp.transpose(projections, (0, 2, 1))
-    pt = jnp.pad(pt, ((0, 0), (0, _round_up(n_row, _SUB) - n_row),
+    pt = jnp.pad(pt, ((0, 0), (0, _round_up(n_row, sub) - n_row),
                       (0, _round_up(n_col, _LANE) - n_col)))
     return pt.astype(dtype)
 
@@ -212,6 +229,7 @@ def _bp_kernel(
     mm_precision,
     span_w: int,
     x_tile: int,
+    sub: int,
     pack: bool,
     window_mode: str,
     den_floor: float,
@@ -278,13 +296,12 @@ def _bp_kernel(
 
             b0 = jnp.clip(jnp.min(jnp.where(valid_h, h0, n_row - 1)),
                           0, max(0, HP - band))
-            # sublane-aligned window start (Mosaic requires multiples of 8)
-            b0 = pl.multiple_of((b0 // _SUB) * _SUB, _SUB)
+            # sublane-aligned window start (Mosaic requires the dtype's
+            # native sublane quantum: 8 for f32, 16 for bf16)
+            b0 = pl.multiple_of((b0 // sub) * sub, sub)
             rel = h0 - b0                                 # (XT, 1)
-            # FDK weight folded into the one-hot rows ((XT,1) muls are
-            # free here) so stage 2 never multiplies by it per z-tile.
-            fhw = jnp.where(valid_h, fh, 0.0) * weight
-            one_m = jnp.where(valid_h, 1.0 - fh, 0.0) * weight
+            fhw = jnp.where(valid_h, fh, 0.0)
+            one_m = jnp.where(valid_h, 1.0 - fh, 0.0)
             W = (jnp.where(band_cols == rel, one_m, 0.0)
                  + jnp.where(band_cols == rel + 1, fhw, 0.0))
             band_rows = proj_ref[c, pl.ds(b0, band), :]    # (band, VP)
@@ -295,6 +312,11 @@ def _bp_kernel(
                 preferred_element_type=jnp.float32,
                 precision=mm_precision,
             )                                              # (XT, VP)
+            # FDK weight applied AFTER the matmul, in f32: the one-hot
+            # rows may be bf16-quantized (fast mode) but the folded
+            # 0.5*(d_so/denom)^2 weight stays exact.  Once per column —
+            # stage 2 never multiplies by it per z-tile.
+            Q = Q * weight
             # forward difference along v: det = Q[v0] + fv * dQ[v0]
             D = (jnp.concatenate(
                 [Q[:, 1:], jnp.zeros((XT, 1), jnp.float32)], axis=1) - Q)
@@ -565,7 +587,16 @@ def backproject_chunk_pallas_yxz(
     assert VP % _LANE == 0, VP
     if pack_qdq is None:
         pack_qdq = precision == jax.lax.Precision.DEFAULT
-    band = min(_h_band_px(grid, x_tile), HP)
+    sub = _sublane(proj_t.dtype)
+    if proj_t.dtype == jnp.bfloat16 and precision == jax.lax.Precision.HIGHEST:
+        raise ValueError(
+            "bf16 projections imply fast-mode accuracy; HIGHEST matmul "
+            "precision cannot recover it — pass f32 projections for the "
+            "exact path or use DEFAULT/HIGH precision")
+    assert HP % sub == 0, (
+        f"projection sublane axis {HP} not padded to the {proj_t.dtype} "
+        f"quantum {sub}; use pad_projections_t")
+    band = min(_h_band_px(grid, x_tile, sub), HP)
     if not pallas_supported(grid, x_tile):
         raise ValueError(
             "geometry's h-span per x-tile exceeds the interpolation band; "
@@ -578,7 +609,8 @@ def backproject_chunk_pallas_yxz(
 
     kern = functools.partial(
         _bp_kernel, grid=grid, C=C, HP=HP, VP=VP, band=band,
-        mm_precision=precision, span_w=span_w, x_tile=x_tile, pack=pack_qdq,
+        mm_precision=precision, span_w=span_w, x_tile=x_tile, sub=sub,
+        pack=pack_qdq,
         window_mode=window_mode, den_floor=den_floor, z_tile=z_tile,
         debug_variant=int(os.environ.get("PARIS_BP_DEBUG_VARIANT", "0")))
 

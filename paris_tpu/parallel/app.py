@@ -4,25 +4,28 @@ Multi-device/multi-host analog of ``app.run_job`` (reference:
 src/main.cpp:137-169 device fan-out).  Each z-block is reconstructed
 with the volume sharded over the mesh; on multi-host runs every host
 feeds the same projection stream (each host reads its local copy or a
-shared filesystem) and writes only the slices it owns.
+shared filesystem) and writes ONLY the shards it owns, at their global
+offsets (``DistributedReconstructor.write_shards``) — no process ever
+materializes a full block.
 """
 
 from __future__ import annotations
 
 import logging
 import time
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
 
-from ..app import ReconstructionJob, _roi_offset
+from ..app import ReconstructionJob, _auto_hbm_budget, _roi_offset
 from ..geometry import apply_roi, derive_volume_geometry, plan_z_blocks
 from ..io.sink import VolumeSink
 from ..io.source import ProjectionSource
 from ..utils.logging import StageTimers, fmt_duration
 from .dist import DistributedReconstructor
 from .mesh import make_z_mesh
+from . import multihost
 
 logger = logging.getLogger("paris_tpu.parallel.app")
 
@@ -44,9 +47,18 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
     chunk -= chunk % n_dev
 
     proj_bytes = 4 * job.det.n_row * job.det.n_col
+    hbm_budget = job.hbm_budget_bytes
+    if hbm_budget is None:
+        hbm_budget = _auto_hbm_budget()
+        if hbm_budget is not None:
+            # the block is sharded: each device holds only 1/n of it,
+            # so the per-device budget scales to the whole mesh
+            hbm_budget *= n_dev
+            logger.info("auto HBM budget: %.1f GB across %d device(s)",
+                        hbm_budget / 2**30, n_dev)
     info = plan_z_blocks(
         vol_geo,
-        hbm_budget_bytes=job.hbm_budget_bytes,
+        hbm_budget_bytes=hbm_budget,
         proj_buffer_bytes=4 * proj_bytes * chunk,
         num_shards=n_dev,
         z_align=8,
@@ -55,8 +67,16 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
     logger.info("z-split: %d block(s) of %d slices (padded)",
                 info.num, info.dim_z_padded)
 
-    sink = VolumeSink(job.output_path, job.prefix, vol_geo.dim_x,
-                      vol_geo.dim_y, vol_geo.dim_z, resume=job.resume)
+    # multi-host: process 0 creates the shared ddbvf, the rest attach
+    # after a barrier (a concurrent create would truncate mid-write)
+    if jax.process_index() == 0:
+        sink = VolumeSink(job.output_path, job.prefix, vol_geo.dim_x,
+                          vol_geo.dim_y, vol_geo.dim_z, resume=job.resume)
+        multihost.barrier("paris-sink-created")
+    else:
+        multihost.barrier("paris-sink-created")
+        sink = VolumeSink.attach(job.output_path, job.prefix, vol_geo.dim_x,
+                                 vol_geo.dim_y, vol_geo.dim_z)
 
     # detector-row banding, as in app.run_job: widest band over blocks
     v_band = None
@@ -89,32 +109,64 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
     )
 
     rx1, ry1, rz1 = _roi_offset(job)
-    for block in info.blocks:
-        if sink.is_done(block.index):
-            logger.info("block %d already complete, skipping", block.index)
-            continue
-        logger.info("reconstructing block %d/%d (z %d..%d)",
-                    block.index + 1, info.num, block.z0,
-                    block.z0 + block.dim_z - 1)
-        volume = rec.init_block()
-        src = ProjectionSource(
-            job.input_path, angle_file=job.angle_path,
-            delta_phi=job.det.delta_phi, quality=job.quality,
-        )
-        n_proj = 0
-        with timers.time("reconstruct"):
-            for plist in src.iter_chunks(chunk):
-                data = np.stack([p.data for p in plist])
-                angs = np.asarray([p.phi for p in plist], np.float32)
-                volume = rec.accumulate(
-                    volume, data, angs,
-                    z_offset=block.z0, roi_offset=(rx1, ry1, rz1))
-                n_proj += len(plist)
-        with timers.time("finalize+write"):
-            out = rec.finalize(volume)[: block.dim_z]
-            if jax.process_index() == 0:
-                sink.write_block(block.index, out, block.z0)
-        logger.info("block %d done (%d projections)", block.index, n_proj)
+    # host-side projection cache: read the HIS directory ONCE for N
+    # blocks (the single-chip driver's fix for the reference's
+    # re-scan-dir-per-task flaw, SURVEY.md §3.2; app.py does the same)
+    cache = job.cache_projections
+    cached: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    with multihost.crash_diagnostics("reconstruct", job.output_path):
+        for block in info.blocks:
+            if sink.is_done(block.index):
+                logger.info("block %d already complete, skipping",
+                            block.index)
+                continue
+            logger.info("reconstructing block %d/%d (z %d..%d)",
+                        block.index + 1, info.num, block.z0,
+                        block.z0 + block.dim_z - 1)
+            volume = rec.init_block()
+            n_proj = 0
+            with timers.time("reconstruct"):
+                if cached is not None:
+                    data, angs = cached
+                    volume = rec.accumulate(
+                        volume, data, angs,
+                        z_offset=block.z0, roi_offset=(rx1, ry1, rz1))
+                    n_proj = len(angs)
+                else:
+                    collect = cache is not False and info.num > 1
+                    datas, angles = [], []
+                    src = ProjectionSource(
+                        job.input_path, angle_file=job.angle_path,
+                        delta_phi=job.det.delta_phi, quality=job.quality,
+                    )
+                    for plist in src.iter_chunks(chunk):
+                        data = np.stack([p.data for p in plist])
+                        angs = np.asarray([p.phi for p in plist], np.float32)
+                        volume = rec.accumulate(
+                            volume, data, angs,
+                            z_offset=block.z0, roi_offset=(rx1, ry1, rz1))
+                        n_proj += len(plist)
+                        if collect:
+                            datas.append(data)
+                            angles.append(angs)
+                            if sum(d.nbytes for d in datas) > \
+                                    job.max_cache_bytes:
+                                collect, datas, angles = False, [], []
+                    if collect and datas:
+                        cached = (np.concatenate(datas),
+                                  np.concatenate(angles))
+            with timers.time("finalize+write"):
+                if multihost.is_multihost():
+                    # each process writes only its addressable shards
+                    rec.write_shards(volume, sink.path, block.z0,
+                                     block.dim_z)
+                    multihost.barrier(f"paris-block-{block.index}")
+                    if jax.process_index() == 0:
+                        sink.mark_done(block.index)
+                else:
+                    out = rec.finalize(volume)[: block.dim_z]
+                    sink.write_block(block.index, out, block.z0)
+            logger.info("block %d done (%d projections)", block.index, n_proj)
 
     timers.report(logger)
     logger.info("distributed reconstruction finished in %s -> %s",

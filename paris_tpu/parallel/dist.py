@@ -193,8 +193,24 @@ class DistributedReconstructor:
         return max(0, min(lo, vp_full - self._vp))
 
     def init_block(self) -> jax.Array:
-        return jax.device_put(
-            jnp.zeros(self._state_shape, jnp.float32), self._vol_sharding)
+        # jit with out_shardings works on single- AND multi-process
+        # meshes (device_put of a host array onto a global sharding
+        # would fail multi-host: non-addressable devices)
+        return jax.jit(
+            functools.partial(jnp.zeros, self._state_shape, jnp.float32),
+            out_shardings=self._vol_sharding)()
+
+    def _put(self, data: np.ndarray, sharding) -> jax.Array:
+        """Host array -> globally sharded device array (multi-host safe).
+
+        Every process holds the same full ``data`` (each host reads the
+        whole projection stream, SURVEY.md §5 distributed design) and
+        contributes only its addressable shards.
+        """
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(
+                data.shape, sharding, lambda idx: data[idx])
+        return jax.device_put(data, sharding)
 
     def accumulate(
         self,
@@ -221,15 +237,35 @@ class DistributedReconstructor:
             phi = np.deg2rad(ang).astype(np.float32)
             volume = self._step(
                 volume,
-                jax.device_put(chunk, self._proj_sharding),
-                jax.device_put(np.sin(phi), self._ang_sharding),
-                jax.device_put(np.cos(phi), self._ang_sharding),
+                self._put(chunk, self._proj_sharding),
+                self._put(np.sin(phi), self._ang_sharding),
+                self._put(np.cos(phi), self._ang_sharding),
                 offs,
             )
         return volume
 
+    def write_shards(self, volume: jax.Array, path: str, z_base: int,
+                     dim_z_valid: int) -> int:
+        """Write this process's addressable shards of a block into the
+        ddbvf at their global offsets (multi-host output path)."""
+        from . import multihost
+        if self.backend == "pallas":     # y-sharded kernel layout
+            return multihost.write_local_shards_yxz(
+                path, volume, z_base, dim_z_valid,
+                self.vol.dim_y, self.vol.dim_x)
+        return multihost.write_local_shards(
+            path, volume, z_base, max_z=z_base + dim_z_valid)
+
     def finalize(self, volume: jax.Array) -> np.ndarray:
-        """Backend state -> (block_dz, ny, nx) ndarray."""
+        """Backend state -> (block_dz, ny, nx) ndarray (single-process).
+
+        On multi-host runs the global block is not addressable from one
+        process — use ``write_shards`` instead.
+        """
+        if jax.process_count() > 1:
+            raise RuntimeError(
+                "finalize() materializes the global block and cannot run "
+                "multi-host; use write_shards()")
         if self.backend == "pallas":
             out = self._bpp.from_kernel_layout(
                 volume, (self.block_dz, self.vol.dim_y, self.vol.dim_x))

@@ -20,7 +20,11 @@ environment (SURVEY.md §4(e)).
 
 from __future__ import annotations
 
+import contextlib
 import logging
+import os
+import socket
+import traceback
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -28,8 +32,9 @@ import jax
 
 logger = logging.getLogger("paris_tpu.multihost")
 
-__all__ = ["initialize", "is_multihost", "local_block_slices",
-           "write_local_shards"]
+__all__ = ["initialize", "is_multihost", "barrier", "local_block_slices",
+           "write_local_shards", "write_local_shards_yxz",
+           "crash_diagnostics"]
 
 
 def initialize(
@@ -59,6 +64,42 @@ def is_multihost() -> bool:
     return jax.process_count() > 1
 
 
+@contextlib.contextmanager
+def crash_diagnostics(stage: str, marker_dir: Optional[str] = None):
+    """Name the failing PROCESS when a distributed run dies.
+
+    On a pod, every host runs the same SPMD program; a bare traceback
+    doesn't say which host/process failed (the reference's
+    signal-handler backtrace was per-process but single-node,
+    src/main.cpp:69-77).  This wraps a stage so a failure logs
+    ``process <i>/<n> on <host>`` with the exception, optionally drops a
+    ``crash.p<i>.log`` marker into ``marker_dir`` (a shared filesystem
+    makes every host's failure visible from any host), then re-raises.
+    """
+    try:
+        yield
+    except Exception as e:
+        pid = jax.process_index()
+        pcount = jax.process_count()
+        host = socket.gethostname()
+        logger.error(
+            "DISTRIBUTED FAILURE in stage %r: process %d/%d on %s "
+            "(pid %d): %s: %s", stage, pid, pcount, host, os.getpid(),
+            type(e).__name__, e)
+        if marker_dir:
+            try:
+                os.makedirs(marker_dir, exist_ok=True)
+                with open(os.path.join(marker_dir, f"crash.p{pid}.log"),
+                          "w") as f:
+                    f.write(f"stage: {stage}\nprocess: {pid}/{pcount}\n"
+                            f"host: {host}\npid: {os.getpid()}\n\n")
+                    f.write(traceback.format_exc())
+            except OSError:
+                logger.warning("could not write crash marker to %s",
+                               marker_dir)
+        raise
+
+
 def local_block_slices(volume: jax.Array) -> List[Tuple[int, np.ndarray]]:
     """(global_offset_dim0, data) for each addressable contiguous shard.
 
@@ -70,6 +111,14 @@ def local_block_slices(volume: jax.Array) -> List[Tuple[int, np.ndarray]]:
         start = idx.start if idx.start is not None else 0
         out.append((start, np.asarray(shard.data)))
     return out
+
+
+def barrier(name: str) -> None:
+    """Block until every process reaches this point (no-op single-process)."""
+    if not is_multihost():
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
 
 
 def write_local_shards(path: str, volume: jax.Array, z_base: int,
@@ -86,4 +135,32 @@ def write_local_shards(path: str, volume: jax.Array, z_base: int,
                 continue
         ddbvf.write_slices(path, data[:dz], z_base + z0)
         written += dz
+    return written
+
+
+def write_local_shards_yxz(path: str, volume_yxz: jax.Array, z_base: int,
+                           dim_z_valid: int, dim_y: int, dim_x: int) -> int:
+    """Write this host's y-shards of a Pallas kernel-layout block.
+
+    ``volume_yxz`` is the (ny_padded, nxp, nzp) accumulator sharded on
+    axis 0 (= volume y).  Each addressable shard is transposed host-side
+    to (dz, local_ny, nx), trimmed of x/z/y padding, and written at its
+    global (z_base, y0) offset via ``ddbvf.write_subrows`` — per-host
+    disjoint-range writes, no gather (the finalize+rank-0-write
+    alternative would need the full global block addressable on one
+    host, which a real pod run cannot do).  Returns y rows written.
+    """
+    from ..io import ddbvf
+    written = 0
+    for shard in volume_yxz.addressable_shards:
+        idx = shard.index[0]
+        y0 = idx.start if idx.start is not None else 0
+        data = np.asarray(shard.data)          # (local_ny, nxp, nzp)
+        ny_valid = min(data.shape[0], dim_y - y0)
+        if ny_valid <= 0:
+            continue                           # y-padding-only shard
+        dz = min(dim_z_valid, data.shape[2])
+        sub = np.transpose(data[:ny_valid, :dim_x, :dz], (2, 0, 1))
+        ddbvf.write_subrows(path, sub, z_base, y0)
+        written += ny_valid
     return written

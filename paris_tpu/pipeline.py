@@ -52,7 +52,7 @@ def max_chunk_size(det: DetectorGeometry, v_band_width=None,
         return -(-x // m) * m
     vp = rup(det.n_col, 128) if v_band_width is None else \
         min(rup(det.n_col, 128), rup(v_band_width, 128))
-    hp = rup(det.n_row, 8)
+    hp = rup(det.n_row, _proj_sublane(accuracy))
     pb = _proj_bytes(accuracy)
     return max(1, budget_bytes
                // (vp * (pb * hp + 4 * _scratch_rows(accuracy))))
@@ -61,6 +61,11 @@ def max_chunk_size(det: DetectorGeometry, v_band_width=None,
 def _proj_bytes(accuracy: str) -> int:
     """Bytes per resident projection sample (fast mode holds bf16)."""
     return 2 if accuracy == "fast" else 4
+
+
+def _proj_sublane(accuracy: str) -> int:
+    """Sublane padding quantum of the resident projection band."""
+    return 16 if accuracy == "fast" else 8
 
 
 def _scratch_rows(accuracy: str) -> int:
@@ -125,7 +130,7 @@ class Reconstructor:
                 self._vp = min(vp_full, bpp._round_up(v_band_width, 128))
             # VMEM budget: banded projections + Q[/dQ] scratch must fit
             # alongside the volume block and pipeline buffers (~16MB/core)
-            hp = bpp._round_up(det.n_row, 8)
+            hp = bpp._round_up(det.n_row, _proj_sublane(accuracy))
             srows = _scratch_rows(accuracy)
             pb = _proj_bytes(accuracy)
             vmem_est = self.chunk_size * self._vp * (pb * hp + 4 * srows)

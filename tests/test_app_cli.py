@@ -187,3 +187,50 @@ def test_two_tier_exceptions(tmp_path):
     # both are catchable via the stdlib bases too
     assert issubclass(StageConstructionError, ValueError)
     assert issubclass(StageRuntimeError, RuntimeError)
+
+
+def test_run_job_auto_hbm_budget(scan, tmp_path, monkeypatch, caplog):
+    """With no explicit budget, the planner derives one from device
+    memory stats and splits the volume (reference analog:
+    cuda/subvolume_information.cpp memory probe)."""
+    import logging
+    import paris_tpu.app as app_mod
+    det, vol = scan["det"], scan["vol"]
+    slice_bytes = 4 * vol.dim_x * vol.dim_y
+    fake_budget = slice_bytes * 24 + 4 * (4 * 64 * 64) * 16
+    monkeypatch.setattr(app_mod, "_auto_hbm_budget", lambda: fake_budget)
+    job = ReconstructionJob(
+        det=det, input_path=scan["pdir"], output_path=str(tmp_path),
+        prefix="vauto", chunk_size=16, backend="xla",
+    )
+    with caplog.at_level(logging.INFO, logger="paris_tpu.app"):
+        out = run_job(job)
+    assert "auto HBM budget" in caplog.text
+    # budget forces >1 block, and the result still matches single-block
+    assert any("z-split: 3 block(s)" in m or "z-split: 2 block(s)" in m
+               for m in caplog.messages)
+    got = ddbvf.read_volume(out)
+    ref = reconstruct(det, vol, scan["projs"], scan["angles"],
+                      chunk_size=16, backend="xla")
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_auto_hbm_budget_no_stats(monkeypatch):
+    """Platforms without memory stats fall back to a single block."""
+    import paris_tpu.app as app_mod
+
+    class Dev:
+        def memory_stats(self):
+            return None
+
+    import jax
+    monkeypatch.setattr(jax, "local_devices", lambda: [Dev()])
+    assert app_mod._auto_hbm_budget() is None
+
+    class Dev2:
+        def memory_stats(self):
+            return {"bytes_limit": 16 << 30, "bytes_in_use": 1 << 30}
+
+    monkeypatch.setattr(jax, "local_devices", lambda: [Dev2()])
+    budget = app_mod._auto_hbm_budget()
+    assert budget == int((15 << 30) * 0.45)

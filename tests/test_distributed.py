@@ -147,3 +147,82 @@ def test_distributed_pallas_banded(setup):
     out = dist.finalize(
         dist.accumulate(dist.init_block(), projs, angles, z_offset=z0))
     np.testing.assert_allclose(out, full[z0:z0 + dz], rtol=1e-4, atol=1e-4)
+
+
+def test_write_local_shards_yxz(setup, tmp_path):
+    """Kernel-layout (y-sharded) shard writes reassemble the volume with
+    x/z/y padding trimmed."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from paris_tpu.parallel.multihost import write_local_shards_yxz
+    from paris_tpu.io import ddbvf
+    mesh = make_z_mesh()
+    dim_z, dim_y, dim_x = 20, 30, 12     # ny padded 30->32 over 8 devices
+    rng = np.random.default_rng(5)
+    vol_zyx = rng.standard_normal((dim_z, dim_y, dim_x)).astype(np.float32)
+    ny_p = 32
+    kern = np.zeros((ny_p, 128, 128), np.float32)
+    kern[:dim_y, :dim_x, :dim_z] = np.transpose(vol_zyx, (1, 2, 0))
+    vol = jax.device_put(jnp.asarray(kern),
+                         NamedSharding(mesh, P("z", None, None)))
+    p = str(tmp_path / "yxz.ddbvf")
+    ddbvf.create(p, dim_x, dim_y, 48)
+    n = write_local_shards_yxz(p, vol, z_base=7, dim_z_valid=dim_z,
+                               dim_y=dim_y, dim_x=dim_x)
+    assert n == dim_y
+    np.testing.assert_array_equal(ddbvf.read_slices(p, 7, dim_z), vol_zyx)
+
+
+def test_crash_diagnostics_marker(setup, tmp_path, caplog):
+    """Failure in a distributed stage names the process and drops a marker."""
+    import logging
+    from paris_tpu.parallel.multihost import crash_diagnostics
+    with caplog.at_level(logging.ERROR, logger="paris_tpu.multihost"):
+        with pytest.raises(RuntimeError, match="boom"):
+            with crash_diagnostics("unit-test", str(tmp_path)):
+                raise RuntimeError("boom")
+    assert "process 0/1" in caplog.text
+    marker = tmp_path / "crash.p0.log"
+    assert marker.exists()
+    text = marker.read_text()
+    assert "RuntimeError: boom" in text and "stage: unit-test" in text
+
+
+def test_run_job_distributed_caches_projections(setup, tmp_path, monkeypatch):
+    """The HIS directory is read ONCE for N blocks (the reference
+    re-scanned per task, SURVEY.md §3.2; single-chip driver already
+    caches — this guards the distributed driver's cache)."""
+    from paris_tpu.app import ReconstructionJob
+    from paris_tpu.parallel.app import run_job_distributed
+    from paris_tpu.io.his import write_his
+    from paris_tpu.io import ddbvf
+    import paris_tpu.io.source as source_mod
+
+    det = DetectorGeometry(
+        n_row=64, n_col=64, l_px_row=2.0, l_px_col=2.0,
+        delta_s=0.0, delta_t=0.0, d_so=500.0, d_od=500.0, delta_phi=22.5,
+    )
+    rng = np.random.default_rng(1)
+    frames = rng.uniform(0, 60000, (16, det.n_col, det.n_row)).astype(np.uint16)
+    pdir = tmp_path / "proj"
+    pdir.mkdir()
+    for i in range(0, 16, 8):
+        write_his(str(pdir / f"b{i:03d}.his"), frames[i:i + 8],
+                  number_dtype=np.uint16)
+
+    calls = {"n": 0}
+    real = source_mod.read_his
+
+    def counting(path):
+        calls["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(source_mod, "read_his", counting)
+    out = run_job_distributed(ReconstructionJob(
+        det=det, input_path=str(pdir), output_path=str(tmp_path / "out"),
+        prefix="vd", chunk_size=8, backend="xla", block_dz=32,
+    ))
+    assert calls["n"] == 2, f"HIS files read {calls['n']} times, expected 2"
+    vol = derive_volume_geometry(det)
+    assert ddbvf.open_meta(out) == (vol.dim_x, vol.dim_y, vol.dim_z)

@@ -202,3 +202,31 @@ def test_source_chunks(tmp_path):
     src = ProjectionSource(d, delta_phi=1.0)
     chunks = list(src.iter_chunks(5))
     assert [len(c) for c in chunks] == [5, 5, 2]
+
+
+def test_ddbvf_rejects_negative_first(tmp_path):
+    """Regression: first=-1 used to pass validation and corrupt offsets."""
+    p = str(tmp_path / "v.ddbvf")
+    ddbvf.create(p, 4, 4, 4)
+    with pytest.raises(ddbvf.DdbvfFormatError):
+        ddbvf.write_slices(p, np.zeros((2, 4, 4), np.float32), -1)
+    with pytest.raises(ddbvf.DdbvfFormatError):
+        ddbvf.write_subrows(p, np.zeros((2, 2, 4), np.float32), -1, 0)
+    with pytest.raises(ddbvf.DdbvfFormatError):
+        ddbvf.write_subrows(p, np.zeros((2, 2, 4), np.float32), 0, -1)
+
+
+def test_ddbvf_write_subrows(tmp_path):
+    """Disjoint y-slab writes tile the same volume as slice writes."""
+    p = str(tmp_path / "v.ddbvf")
+    dim_x, dim_y, dim_z = 6, 8, 5
+    ddbvf.create(p, dim_x, dim_y, dim_z)
+    rng = np.random.default_rng(9)
+    vol = rng.standard_normal((dim_z, dim_y, dim_x)).astype(np.float32)
+    # write in 4 y-slabs of 2 rows each (the multi-host shard pattern)
+    for y0 in range(0, dim_y, 2):
+        ddbvf.write_subrows(p, vol[:, y0:y0 + 2], 0, y0)
+    np.testing.assert_array_equal(ddbvf.read_volume(p), vol)
+    # y-range overrun rejected
+    with pytest.raises(ddbvf.DdbvfFormatError):
+        ddbvf.write_subrows(p, np.zeros((1, 3, dim_x), np.float32), 0, 6)
