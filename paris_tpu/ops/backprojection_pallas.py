@@ -148,7 +148,8 @@ def from_kernel_layout(vol_yxz: jnp.ndarray, shape_zyx: Tuple[int, int, int]
 
 
 def pad_projections_t(projections: jnp.ndarray,
-                      dtype=jnp.float32) -> jnp.ndarray:
+                      dtype=jnp.float32, sub: Optional[int] = None
+                      ) -> jnp.ndarray:
     """(C, n_col, n_row) -> transposed padded (C, HP, VP): axis1=h, axis2=v.
 
     ``dtype=bfloat16`` halves the kernel's dominant VMEM term (the
@@ -158,11 +159,26 @@ def pad_projections_t(projections: jnp.ndarray,
     bilinear path — the pipeline's "fast" accuracy mode.
     """
     C, n_col, n_row = projections.shape
-    sub = _sublane(jnp.dtype(dtype))
+    if sub is None:
+        sub = _sublane(jnp.dtype(dtype))
     pt = jnp.transpose(projections, (0, 2, 1))
     pt = jnp.pad(pt, ((0, 0), (0, _round_up(n_row, sub) - n_row),
                       (0, _round_up(n_col, _LANE) - n_col)))
     return pt.astype(dtype)
+
+
+def split_bf16_planes(pt: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """f32 (C, HP, VP) -> (hi, lo) bf16 planes with hi + lo ~= pt.
+
+    Feeds the kernel's 3-pass "x3" matmul path: Mosaic has no HIGH dot
+    precision, so the bf16x3 scheme (W_hi*P_hi + W_hi*P_lo + W_lo*P_hi,
+    all native-bf16 MXU passes) is synthesized from explicit planes.
+    Residency cost equals f32 (2+2 bytes); rounding error ~1e-5 relative
+    vs the 6-pass HIGHEST path's ~1e-7, at half the MXU passes.
+    """
+    hi = pt.astype(jnp.bfloat16)
+    lo = (pt - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
 def _v_stride_bound(grid: BpGrid) -> float:
@@ -215,11 +231,8 @@ def _unpack_bf16_pair(p: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _bp_kernel(
-    # SMEM scalar refs
+    # SMEM scalar refs, then VMEM refs + scratch (unpacked below)
     sin_ref, cos_ref, off_ref,
-    # VMEM refs
-    proj_ref, vol_in_ref, vol_out_ref,
-    # scratch (q_ref [, dq_ref], acc_ref)
     *refs,
     grid: BpGrid,
     C: int,
@@ -231,16 +244,22 @@ def _bp_kernel(
     x_tile: int,
     sub: int,
     pack: bool,
+    x3: bool,
     window_mode: str,
     den_floor: float,
     z_tile: int = _LANE,
     debug_variant: int = 0,
 ):
+    if x3:      # bf16x3: projections arrive as (hi, lo) bf16 planes
+        proj_ref, proj_lo_ref, vol_in_ref, vol_out_ref, *scratch = refs
+    else:
+        proj_ref, vol_in_ref, vol_out_ref, *scratch = refs
+        proj_lo_ref = None
     if pack:
-        q_ref, acc_ref = refs
+        q_ref, acc_ref = scratch
         dq_ref = None
     else:
-        q_ref, dq_ref, acc_ref = refs
+        q_ref, dq_ref, acc_ref = scratch
     det, vol = grid.det, grid.vol
     y = pl.program_id(0)
     xt = pl.program_id(1)
@@ -305,13 +324,28 @@ def _bp_kernel(
             W = (jnp.where(band_cols == rel, one_m, 0.0)
                  + jnp.where(band_cols == rel + 1, fhw, 0.0))
             band_rows = proj_ref[c, pl.ds(b0, band), :]    # (band, VP)
-            if band_rows.dtype == jnp.bfloat16:
-                W = W.astype(jnp.bfloat16)     # native bf16 MXU pass
-            Q = jax.lax.dot_general(
-                W, band_rows, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=mm_precision,
-            )                                              # (XT, VP)
+            if x3:
+                # Mosaic has no HIGH dot precision; synthesize bf16x3:
+                # 3 native-bf16 MXU passes, ~1e-5 relative error, half
+                # the passes of the 6-pass HIGHEST path.
+                def _dot(a, b):
+                    return jax.lax.dot_general(
+                        a, b, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+                rows_lo = proj_lo_ref[c, pl.ds(b0, band), :]
+                W_hi = W.astype(jnp.bfloat16)
+                W_lo = (W - W_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                Q = (_dot(W_hi, band_rows) + _dot(W_hi, rows_lo)
+                     + _dot(W_lo, band_rows))
+            else:
+                if band_rows.dtype == jnp.bfloat16:
+                    W = W.astype(jnp.bfloat16)     # native bf16 MXU pass
+                Q = jax.lax.dot_general(
+                    W, band_rows, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mm_precision,
+                )                                          # (XT, VP)
             # FDK weight applied AFTER the matmul, in f32: the one-hot
             # rows may be bf16-quantized (fast mode) but the folded
             # 0.5*(d_so/denom)^2 weight stays exact.  Once per column —
@@ -575,6 +609,13 @@ def backproject_chunk_pallas_yxz(
     if offsets.shape[0] == 3:
         offsets = jnp.concatenate([offsets, jnp.zeros((1,), jnp.int32)])
     ny, nxp, nzp = volume_yxz.shape
+    # a (hi, lo) bf16 plane pair selects the 3-pass "x3" matmul path
+    # (see split_bf16_planes) — the exact-mode default
+    x3 = isinstance(proj_t, (tuple, list))
+    if x3:
+        proj_t, proj_lo = proj_t
+        assert proj_t.dtype == jnp.bfloat16 and proj_lo.dtype == jnp.bfloat16
+        assert proj_t.shape == proj_lo.shape
     C, HP, VP = proj_t.shape
     if z_tile is None:
         # v5e A/B (Gupd/s, fast): 512-class 43.4/46.6/50.2 and 1024-class
@@ -586,13 +627,15 @@ def backproject_chunk_pallas_yxz(
     assert nxp % x_tile == 0, (nxp, x_tile)
     assert VP % _LANE == 0, VP
     if pack_qdq is None:
-        pack_qdq = precision == jax.lax.Precision.DEFAULT
+        # x3 is the exact path: keep two f32 scratches + two gathers
+        pack_qdq = precision == jax.lax.Precision.DEFAULT and not x3
     sub = _sublane(proj_t.dtype)
-    if proj_t.dtype == jnp.bfloat16 and precision == jax.lax.Precision.HIGHEST:
+    if not x3 and proj_t.dtype == jnp.bfloat16 \
+            and precision == jax.lax.Precision.HIGHEST:
         raise ValueError(
             "bf16 projections imply fast-mode accuracy; HIGHEST matmul "
-            "precision cannot recover it — pass f32 projections for the "
-            "exact path or use DEFAULT/HIGH precision")
+            "precision cannot recover it — pass f32 projections (or an "
+            "(hi, lo) plane pair for the x3 path) for exact accuracy")
     assert HP % sub == 0, (
         f"projection sublane axis {HP} not padded to the {proj_t.dtype} "
         f"quantum {sub}; use pad_projections_t")
@@ -610,7 +653,7 @@ def backproject_chunk_pallas_yxz(
     kern = functools.partial(
         _bp_kernel, grid=grid, C=C, HP=HP, VP=VP, band=band,
         mm_precision=precision, span_w=span_w, x_tile=x_tile, sub=sub,
-        pack=pack_qdq,
+        pack=pack_qdq, x3=x3,
         window_mode=window_mode, den_floor=den_floor, z_tile=z_tile,
         debug_variant=int(os.environ.get("PARIS_BP_DEBUG_VARIANT", "0")))
 
@@ -623,27 +666,36 @@ def backproject_chunk_pallas_yxz(
                    pltpu.VMEM((C, K, x_tile, _LANE), jnp.float32),
                    pltpu.VMEM((2, x_tile, _LANE), jnp.float32)]
 
+    proj_spec = pl.BlockSpec((C, HP, VP), lambda y, xt, zt: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),     # sin
+        pl.BlockSpec(memory_space=pltpu.SMEM),     # cos
+        pl.BlockSpec(memory_space=pltpu.SMEM),     # offsets
+        proj_spec,                                 # proj_t (hi plane if x3)
+    ]
+    args = [sin_phi, cos_phi, offsets, proj_t]
+    if x3:
+        in_specs.append(proj_spec)                 # lo plane
+        args.append(proj_lo)
+    in_specs.append(
+        pl.BlockSpec((1, x_tile, z_tile), lambda y, xt, zt: (y, xt, zt),
+                     memory_space=pltpu.VMEM))     # vol in
+    args.append(volume_yxz)
+
     pgrid = (ny, nxp // x_tile, nzp // z_tile)
     return pl.pallas_call(
         kern,
         grid=pgrid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # sin
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # cos
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # offsets
-            pl.BlockSpec((C, HP, VP), lambda y, xt, zt: (0, 0, 0),
-                         memory_space=pltpu.VMEM),     # proj_t
-            pl.BlockSpec((1, x_tile, z_tile), lambda y, xt, zt: (y, xt, zt),
-                         memory_space=pltpu.VMEM),     # vol in
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, x_tile, z_tile),
                                lambda y, xt, zt: (y, xt, zt),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ny, nxp, nzp), jnp.float32),
         scratch_shapes=scratch,
-        input_output_aliases={4: 0},
+        input_output_aliases={len(args) - 1: 0},
         interpret=interpret,
-    )(sin_phi, cos_phi, offsets, proj_t, volume_yxz)
+    )(*args)
 
 
 def backproject_chunk_pallas(

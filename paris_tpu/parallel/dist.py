@@ -137,15 +137,16 @@ class DistributedReconstructor:
             self._vp = vp_full if v_band_width is None else \
                 min(vp_full, _round_up(v_band_width, 128))
 
-            proj_dtype = (jnp.bfloat16 if accuracy == "fast"
-                          else jnp.float32)
-
             def shard_step(volume, chunk, sin_phi, cos_phi, offs):
                 # volume: (local_ny, nxp, nzp); fast mode gathers bf16 —
                 # half the ICI broadcast bytes and half the VMEM band
                 filtered = filter_projections(
                     chunk * self._weights, self._spectrum, det.n_row)
-                proj_t = bpp.pad_projections_t(filtered, proj_dtype)
+                if accuracy == "fast":
+                    proj_t = bpp.pad_projections_t(filtered, jnp.bfloat16)
+                else:
+                    proj_t = bpp.pad_projections_t(filtered, jnp.float32,
+                                                   sub=16)
                 if self._vp < vp_full:
                     # band BEFORE the all-gather: the ICI broadcast only
                     # carries the detector rows this z-block can sample
@@ -158,11 +159,14 @@ class DistributedReconstructor:
                 my_y0 = jax.lax.axis_index(Z_AXIS) * self.local_ny
                 shard_offs = jnp.stack(
                     [offs[0], offs[1] + my_y0, offs[2], offs[3]])
-                mm_prec = (jax.lax.Precision.DEFAULT if accuracy == "fast"
-                           else jax.lax.Precision.HIGHEST)
+                if accuracy == "exact":
+                    # split AFTER the gather (local elementwise): the
+                    # bf16x3 exact path, see ops/backprojection_pallas
+                    proj_t = bpp.split_bf16_planes(proj_t)
                 return bpp.backproject_chunk_pallas_yxz(
                     volume, proj_t, sins, coss, self.grid, shard_offs,
-                    interpret=interpret, precision=mm_prec,
+                    interpret=interpret,
+                    precision=jax.lax.Precision.DEFAULT,
                     window_mode=window_mode)
         else:
             raise ValueError(f"unknown backend {backend!r}")

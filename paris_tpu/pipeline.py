@@ -64,8 +64,12 @@ def _proj_bytes(accuracy: str) -> int:
 
 
 def _proj_sublane(accuracy: str) -> int:
-    """Sublane padding quantum of the resident projection band."""
-    return 16 if accuracy == "fast" else 8
+    """Sublane padding quantum of the resident projection band.
+
+    Both modes hold bf16 data (fast: one plane; exact: hi+lo planes for
+    the bf16x3 matmul), so both pad to the bf16 (16, 128) tile.
+    """
+    return 16
 
 
 def _scratch_rows(accuracy: str) -> int:
@@ -141,23 +145,29 @@ class Reconstructor:
                     f"chunk_size {self.chunk_size} needs ~{vmem_est >> 20}MB "
                     f"VMEM for a {hp}x{self._vp} projection band; reduce "
                     f"chunk_size to <= {max_c} or narrow the detector band")
-            mm_prec = (jax.lax.Precision.DEFAULT if accuracy == "fast"
-                       else jax.lax.Precision.HIGHEST)
-
-            proj_dtype = jnp.bfloat16 if accuracy == "fast" else jnp.float32
-
+            # exact mode runs the bf16x3 matmul path: f32 projections
+            # split into (hi, lo) bf16 planes, 3 native-bf16 MXU passes
+            # (~1e-5 accuracy, matches the old 6-pass HIGHEST to ~5e-7
+            # while ~15% faster end-to-end; measured v5e 1024-class)
             @functools.partial(jax.jit, donate_argnums=(0,))
             def _step(volume_yxz, chunk, sin_phi, cos_phi, offs):
                 filtered = preprocess_chunk(
                     chunk, self._weights, self._spectrum, det.n_row)
-                proj_t = bpp.pad_projections_t(filtered, proj_dtype)
+                if accuracy == "fast":
+                    proj_t = bpp.pad_projections_t(filtered, jnp.bfloat16)
+                else:
+                    proj_t = bpp.pad_projections_t(filtered, jnp.float32,
+                                                   sub=16)
                 if self._vp < vp_full:
                     proj_t = jax.lax.dynamic_slice(
                         proj_t, (0, 0, offs[3]),
                         (proj_t.shape[0], proj_t.shape[1], self._vp))
+                if accuracy == "exact":
+                    proj_t = bpp.split_bf16_planes(proj_t)
                 return bpp.backproject_chunk_pallas_yxz(
                     volume_yxz, proj_t, sin_phi, cos_phi, self.grid, offs,
-                    interpret=interpret, precision=mm_prec,
+                    interpret=interpret,
+                    precision=jax.lax.Precision.DEFAULT,
                     window_mode=window_mode)
 
             self._step = _step

@@ -230,3 +230,53 @@ def test_ddbvf_write_subrows(tmp_path):
     # y-range overrun rejected
     with pytest.raises(ddbvf.DdbvfFormatError):
         ddbvf.write_subrows(p, np.zeros((1, 3, dim_x), np.float32), 0, 6)
+
+
+def test_his_fuzz_frame_headers_and_mixed_dtypes(tmp_path):
+    """Real-world HIS archives mix dtypes across files and carry
+    arbitrary non-zero per-frame image headers (reference tolerates any
+    image_header_size, src/his.cpp:157-166).  Fuzz both the pure-Python
+    and (if built) native decode paths through ProjectionSource."""
+    from paris_tpu.io.his import (read_his, HIS_FILE_ID, _HEADER_FMT,
+                                  _FILE_HEADER_SIZE, _DTYPE_TO_NUMBER_TYPE)
+    from paris_tpu.io.source import ProjectionSource
+    import struct as _struct
+
+    rng = np.random.default_rng(11)
+    h, w = 9, 13
+    dtypes = [np.uint8, np.uint16, np.uint32, np.float64, np.float32]
+    expected = []
+    for fi, dt in enumerate(dtypes):
+        n_frames = int(rng.integers(1, 4))
+        ihs = int(rng.integers(0, 200))          # random image header size
+        dtype = np.dtype(dt)
+        if dtype.kind == "f":
+            frames = rng.standard_normal((n_frames, h, w)).astype(dtype)
+        else:
+            frames = rng.integers(
+                0, min(250, np.iinfo(dtype).max),
+                (n_frames, h, w)).astype(dtype)
+        file_size = _FILE_HEADER_SIZE + n_frames * (ihs + w * h * dtype.itemsize)
+        header = _struct.pack(
+            _HEADER_FMT, HIS_FILE_ID, _FILE_HEADER_SIZE, 100, file_size,
+            ihs, 3, 5, 3 + w - 1, 5 + h - 1, n_frames, 0, 1.25,
+            _DTYPE_TO_NUMBER_TYPE[dtype])
+        header += b"\x00" * (_FILE_HEADER_SIZE - len(header))
+        path = tmp_path / f"f{fi:02d}.his"
+        with open(path, "wb") as f:
+            f.write(header)
+            for i in range(n_frames):
+                # NON-zero junk header content must be skipped, not parsed
+                f.write(rng.bytes(ihs))
+                f.write(np.ascontiguousarray(frames[i]).tobytes())
+        got = read_his(str(path))
+        np.testing.assert_allclose(got, frames.astype(np.float32),
+                                   rtol=0, atol=0)
+        expected.extend(frames.astype(np.float32))
+
+    # the streaming source flattens all files' frames in sorted order
+    src = ProjectionSource(str(tmp_path), delta_phi=1.0)
+    streamed = [p.data for chunk in src.iter_chunks(4) for p in chunk]
+    assert len(streamed) == len(expected)
+    for got, exp in zip(streamed, expected):
+        np.testing.assert_array_equal(got, exp)
