@@ -58,14 +58,14 @@ def config1():
     }
 
 
-def _throughput_run(det, n_proj, chunk, label, config_id, quality_probe=True):
+def _throughput_run(det, n_proj, chunk, label, config_id, accuracy="exact"):
     from paris_tpu.geometry import derive_volume_geometry
     from paris_tpu.pipeline import Reconstructor
     import jax.numpy as jnp
     import jax
 
     vol = derive_volume_geometry(det)
-    rec = Reconstructor(det, vol, chunk_size=chunk)
+    rec = Reconstructor(det, vol, chunk_size=chunk, accuracy=accuracy)
     rng = np.random.default_rng(0)
     data = rng.standard_normal((chunk, det.n_col, det.n_row)).astype(np.float32)
     phi = np.deg2rad(np.arange(chunk) * det.delta_phi).astype(np.float32)
@@ -91,15 +91,51 @@ def _throughput_run(det, n_proj, chunk, label, config_id, quality_probe=True):
 
 
 def config2():
-    from paris_tpu.geometry import DetectorGeometry
+    """256-class: full-chain throughput (both accuracy modes) + the
+    BASELINE RMSE gate evaluated ON CHIP — a decimated Shepp-Logan scan
+    reconstructed through the compiled pallas path (exact AND fast) and
+    compared against the independent NumPy golden oracle."""
+    from paris_tpu.geometry import DetectorGeometry, derive_volume_geometry
+    from paris_tpu.golden import golden_fdk
+    from paris_tpu.phantom import cone_beam_project
+    from paris_tpu.pipeline import Reconstructor
+
     det = DetectorGeometry(256, 256, 1.0, 1.0, 0.0, 0.0, 2048.0, 1024.0, 0.5)
-    return _throughput_run(det, 720, 8, "single_chip_256", 2)
+    vol = derive_volume_geometry(det)
+    out = {"config": 2, "name": "single_chip_256", "volume": vol.shape_zyx}
+    for acc in ("exact", "fast"):
+        r = _throughput_run(det, 720, 8, "tp", 2, accuracy=acc)
+        out[f"gupd_per_s_{acc}"] = r["gupd_per_s_per_chip"]
+        out["backend"] = r["backend"]
+
+    # correctness: 90-angle decimated scan (quality=8 of the 720) so the
+    # NumPy oracle stays tractable; gate is the BASELINE <= 1e-3
+    n_corr = int(os.environ.get("PARIS_BENCH_CFG2_NPROJ", "90"))
+    angles = np.arange(n_corr, dtype=np.float32) * (360.0 / n_corr)
+    projs = cone_beam_project(det, angles,
+                              scale_mm=vol.dim_x * vol.l_vx_x / 2 * 0.9)
+    golden = golden_fdk(projs, angles, det, vol)
+    rmse = {}
+    for acc in ("exact", "fast"):
+        rec = Reconstructor(det, vol, chunk_size=8, accuracy=acc)
+        rmse[acc] = _rel_rmse(rec.run(projs, angles), golden)
+    out["rel_rmse_vs_golden"] = rmse
+    out["gate"] = "<= 1e-3"
+    out["pass"] = all(v <= 1e-3 for v in rmse.values())
+    return out
 
 
 def config3():
-    """1024-class: z-blocks, HIS streaming, ddbvf output, resume manifest."""
+    """1024-class streaming: z-blocks, HIS streaming, ddbvf output —
+    with a CONTENT + SEAM gate: a Shepp-Logan scan is streamed through
+    run_job (forced multi-block), and a z-slab straddling the first
+    block seam is read back from the ddbvf and RMSE-checked against the
+    NumPy golden oracle (so both block content and the seam write
+    offsets are verified at full 1024-class scale)."""
     from paris_tpu.geometry import DetectorGeometry, derive_volume_geometry
     from paris_tpu.app import ReconstructionJob, run_job
+    from paris_tpu.golden import golden_fdk
+    from paris_tpu.phantom import cone_beam_project
     from paris_tpu.io.his import write_his
     from paris_tpu.io import ddbvf
 
@@ -107,30 +143,46 @@ def config3():
                            2048.0, 1024.0, 0.5)
     vol = derive_volume_geometry(det)
     n_proj = int(os.environ.get("PARIS_BENCH_CFG3_NPROJ", "64"))
-    rng = np.random.default_rng(0)
+    angles = np.arange(n_proj, dtype=np.float32) * (360.0 / n_proj)
+    projs = cone_beam_project(det, angles,
+                              scale_mm=vol.dim_x * vol.l_vx_x / 2 * 0.9)
+    block_dz = 512 if vol.dim_z > 512 else vol.dim_z // 2
+    seam0 = max(0, block_dz - 2)            # slab straddling the seam
+    slab_dz = 4
+    res = {"config": 3, "name": "streaming_1024_blocks",
+           "volume": vol.shape_zyx, "n_proj": n_proj,
+           "block_dz": block_dz, "seam_slab_z0": seam0}
+    rmse = {}
     with tempfile.TemporaryDirectory() as d:
         pdir = os.path.join(d, "proj")
         os.makedirs(pdir)
-        frames = (rng.uniform(0, 60000, (n_proj, det.n_col, det.n_row))
-                  .astype(np.uint16))
         for i in range(0, n_proj, 16):
-            write_his(os.path.join(pdir, f"b{i:05d}.his"), frames[i:i + 16],
-                      number_dtype=np.uint16)
-        job = ReconstructionJob(
-            det=det, input_path=pdir, output_path=d, prefix="c3",
-            chunk_size=8, hbm_budget_bytes=6 << 30,
-        )
-        t0 = time.perf_counter()
-        out = run_job(job)
-        dt = time.perf_counter() - t0
-        dims = ddbvf.open_meta(out)
-    gups = vol.dim_x * vol.dim_y * vol.dim_z * n_proj / dt / 1e9
-    return {
-        "config": 3, "name": "streaming_1024_blocks",
-        "volume": list(dims), "n_proj": n_proj,
-        "seconds": round(dt, 1),
-        "gupd_per_s_end_to_end": round(gups, 2),
-    }
+            write_his(os.path.join(pdir, f"b{i:05d}.his"), projs[i:i + 16],
+                      number_dtype=np.float32)
+        for acc in ("exact", "fast"):
+            job = ReconstructionJob(
+                det=det, input_path=pdir, output_path=d, prefix=f"c3{acc}",
+                chunk_size=8, block_dz=block_dz, accuracy=acc,
+            )
+            t0 = time.perf_counter()
+            out = run_job(job)
+            dt = time.perf_counter() - t0
+            res[f"seconds_{acc}"] = round(dt, 1)
+            res[f"gupd_per_s_end_to_end_{acc}"] = round(
+                vol.voxels * n_proj / dt / 1e9, 2)
+            slab = ddbvf.read_slices(out, seam0, slab_dz)
+            golden = golden_fdk(projs, angles, det, vol, dz=slab_dz,
+                                z_offset=seam0)
+            rmse[acc] = _rel_rmse(slab, golden)
+            # seam continuity: the two slices on either side of the block
+            # boundary must each pass the same gate (a wrong write offset
+            # or a bad boundary block would blow one of them up)
+            rmse[acc + "_below_seam"] = _rel_rmse(slab[1], golden[1])
+            rmse[acc + "_above_seam"] = _rel_rmse(slab[2], golden[2])
+    res["rel_rmse_vs_golden_seam_slab"] = rmse
+    res["gate"] = "<= 1e-3"
+    res["pass"] = all(v <= 1e-3 for v in rmse.values())
+    return res
 
 
 def config4():

@@ -271,7 +271,15 @@ def detector_row_band(
     doc/"Geometrie - Definitionen für Subvolumen.pdf").
     """
     d_so = abs(det.d_so)
-    r = (vol.dim_x / 2.0) * vol.l_vx_x
+    # corner (half-diagonal) radius, not the inscribed FOV radius: the
+    # kernels compute every voxel of the square x/y extent (like the
+    # reference, cuda/backprojection.cu:96-128), and a corner voxel's
+    # magnification exceeds the inscribed bound — its detector row can
+    # land on-detector but outside an inscribed-radius band, which would
+    # sample garbage.  Must match the kernel's den_floor bound
+    # (ops/backprojection_pallas.py).
+    r = (vol.dim_x / 2.0) * vol.l_vx_x * math.sqrt(2.0)
+    r = min(r, d_so * 0.95)
     denom = max(d_so - r, 1e-6)
     max_factor = det.d_sd / denom
 

@@ -146,3 +146,36 @@ def test_filter_size():
     assert filter_size_for(1024) == 2048
     assert filter_size_for(1025) == 4096
     assert filter_size_for(64) == 128
+
+
+def test_detector_row_band_covers_corner_voxels():
+    """The band must cover CORNER voxels' detector rows.
+
+    The kernels compute every voxel of the square x/y extent (reference
+    cuda/backprojection.cu:96-128 does too); a corner voxel magnifies by
+    d_sd/(d_so - r*sqrt(2)), beyond the inscribed-radius bound.
+    Regression: a band sized from the inscribed radius let an
+    on-detector corner sample land outside the band and gather garbage.
+    """
+    det = DetectorGeometry(
+        n_row=96, n_col=256, l_px_row=2.0, l_px_col=2.0,
+        delta_s=0.0, delta_t=0.0, d_so=300.0, d_od=300.0, delta_phi=2.0,
+    )
+    vol = derive_volume_geometry(det)
+    for z0 in range(0, vol.dim_z - 16, 16):
+        lo, hi = detector_row_band(det, vol, z0, 16)
+        # worst-case corner voxel of the block (mm -> fractional px)
+        r_c = min(vol.dim_x / 2.0 * vol.l_vx_x * math.sqrt(2.0),
+                  abs(det.d_so) * 0.95)
+        v_min_mm = det.delta_t * det.l_px_col - det.n_col * det.l_px_col / 2
+        need_lo, need_hi = det.n_col, 0
+        for zi in (z0, z0 + 15):
+            z_mm = (-(vol.dim_z * vol.l_vx_z) / 2.0 + vol.l_vx_z / 2.0
+                    + zi * vol.l_vx_z)
+            for f in (det.d_sd / (abs(det.d_so) - r_c),
+                      det.d_sd / (abs(det.d_so) + r_c)):
+                v_px = (z_mm * f - v_min_mm) / det.l_px_col - 0.5
+                need_lo = min(need_lo, int(math.floor(v_px)))
+                need_hi = max(need_hi, int(math.ceil(v_px)) + 1)
+        assert lo <= max(0, need_lo), (z0, lo, need_lo)
+        assert hi >= min(det.n_col, need_hi), (z0, hi, need_hi)
