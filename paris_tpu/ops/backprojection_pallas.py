@@ -30,15 +30,18 @@ two structured interpolations:
     difference dQ[v0] are gathered (border-zero v handling is an
     explicit mask), giving det = Q[v0] + fv*dQ[v0].  Two speed paths:
       * window selection (``window_mode``): the static worst-case
-        window count is K = VP/128, but any one (angle, tile) touches
-        only ``span_w`` (typically 2-3) consecutive windows.  Three
-        strategies: "direct" gathers all K windows (no control flow —
-        wins when K is small, the common case under detector-row
-        banding); "dynamic" computes the lowest touched window k0 from
-        SCALAR interval bounds (tile x/y/z extents x geometry) and
-        gathers the ``span_w`` windows ``q_ref[c, k0+j]`` via dynamic
-        leading-dim indexing — no vector reductions, no branches;
-        "ladder" is the legacy runtime-predicated branch chain;
+        window count is K = VP/128, but any one (angle, tile) touches a
+        narrow v interval.  The scratch stores windows at 64-LANE STRIDE
+        (window j covers Q[64j, 64j+128)); "dynamic" (default) computes
+        the lowest touched window from SCALAR interval bounds (tile
+        x/y/z extents x geometry) and gathers ``span_w`` windows
+        stepping by 2 via dynamic leading-dim indexing — the 64-lane
+        base quantization means 2 gathers cover any v span <= 191 px
+        (a 128-quantized base needs 3 whenever |dv/dz| > ~0.97).
+        "direct" gathers all K disjoint windows (wins when K is small).
+        No per-angle control flow anywhere: scalar pl.when branches per
+        (angle, sub-tile) — tile culling, rare-window branches — were
+        measured at 25-30 Gupd/s vs 47 straight-line on v5e;
       * packed Q/dQ (``pack_qdq``) — Q and dQ are round-to-nearest
         bf16-packed into one int32 lane in stage 1, halving the gather
         count; numerically ~4e-3 per sample, which averages out over
@@ -201,11 +204,23 @@ def _v_xspread_bound(grid: BpGrid, x_tile: int = _XTILE) -> float:
     return z_max_mm * x_tile * dfdx / det.l_px_col
 
 
-def _v_span_windows(grid: BpGrid, x_tile: int = _XTILE) -> int:
-    """Number of consecutive 128-wide v windows covering one (x,z) tile."""
-    span = ((_LANE - 1) * _v_stride_bound(grid)
+def _v_span_px(grid: BpGrid, x_tile: int = _XTILE) -> float:
+    """Trace-time bound on one (x, z) tile's detector-v interval width."""
+    return ((_LANE - 1) * _v_stride_bound(grid)
             + _v_xspread_bound(grid, x_tile) + 4.0)
-    return 1 + int(math.ceil(span / _LANE))
+
+
+def _v_span_windows(grid: BpGrid, x_tile: int = _XTILE) -> int:
+    """128-wide v windows needed per (x, z) tile from a 64-QUANTIZED base.
+
+    The Q scratch stores windows at 64-lane stride (window j covers
+    [64j, 64j+128)), so the dynamic base wastes at most 64 lanes of the
+    first window; the gathered windows step by 2 (disjoint 128-lane
+    coverage).  For |dv/dz| slightly above 1 (span ~143 px) this yields
+    2 gathers where a 128-quantized base needs 3.
+    """
+    span = _v_span_px(grid, x_tile)
+    return max(1, int(math.ceil((span + 65.0) / _LANE)))
 
 
 def _pack_bf16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
@@ -256,10 +271,10 @@ def _bp_kernel(
         proj_ref, vol_in_ref, vol_out_ref, *scratch = refs
         proj_lo_ref = None
     if pack:
-        q_ref, acc_ref = scratch
+        q_ref, = scratch
         dq_ref = None
     else:
-        q_ref, dq_ref, acc_ref = scratch
+        q_ref, dq_ref = scratch
     det, vol = grid.det, grid.vol
     y = pl.program_id(0)
     xt = pl.program_id(1)
@@ -294,12 +309,32 @@ def _bp_kernel(
         weight = jnp.where(safe, 0.5 * (d_so * inv) ** 2, 0.0)
         return safe, factor, weight
 
-    KW = VP // _LANE
+    # ---- per-(angle, tile) SCALAR factor interval (z-invariant) ----------
+    # From the tile's x/y extents and the geometry alone.  Any voxel
+    # inside the trace-time radius bound has denom >= den_floor, so f_hi
+    # bounds every voxel ``safe`` keeps.  Feeds the v window base.
+    xs_lo_s = (xt * XT + rx1).astype(jnp.float32) * l_vx_x + off_x
+    xs_hi_s = xs_lo_s + (XT - 1) * l_vx_x
+    ys_sc = (y + ry1).astype(jnp.float32) * l_vx_y + off_y
+
+    def tile_factor_interval(c):
+        sin_c, cos_c = sin_ref[c], cos_ref[c]
+        s1 = xs_lo_s * cos_c + ys_sc * sin_c
+        s2 = xs_hi_s * cos_c + ys_sc * sin_c
+        den_lo = jnp.maximum(jnp.minimum(s1, s2) + d_so, den_floor)
+        den_hi = jnp.maximum(jnp.maximum(s1, s2) + d_so, den_lo)
+        return d_sd / den_hi, d_sd / den_lo          # (f_lo, f_hi)
+
+    # v windows live at 64-lane stride: window j covers Q[64j, 64j+128).
+    # Stage 2 gathers ``span_w`` windows stepping by 2 (disjoint 128-lane
+    # coverage) from a 64-quantized dynamic base — one fewer gather than
+    # a 128-quantized base for |dv/dz| slightly above 1.
+    KW = max(1, 2 * (VP // _LANE) - 1)
 
     # ---- stage 1 (once per (y, x-tile)): fill the Q scratch --------------
-    # The scratch is WINDOW-MAJOR — (C, K, XT, 128) — so stage 2's gathers
+    # The scratch is WINDOW-MAJOR — (C, KW, XT, 128) — so stage 2's gathers
     # read whole contiguous tiles instead of lane-slicing a (XT, VP) row
-    # at a different 128-offset per z-tile.
+    # at a different offset per z-tile.
     @pl.when(jnp.logical_and(zt == 0, debug_variant != 3))
     def _stage1():
         band_cols = jax.lax.broadcasted_iota(jnp.int32, (XT, band), 1)
@@ -354,20 +389,32 @@ def _bp_kernel(
             # forward difference along v: det = Q[v0] + fv * dQ[v0]
             D = (jnp.concatenate(
                 [Q[:, 1:], jnp.zeros((XT, 1), jnp.float32)], axis=1) - Q)
+            def store_windows(ref, A, c=c):
+                """Even windows are aligned slices of A; odd ones are
+                aligned slices of A rotated left by 64 lanes (one native
+                lane-roll instead of KW/2 unaligned slices).  The roll's
+                wrapped tail is never addressed: the top odd window
+                (2K-3) ends 64 lanes short of VP."""
+                Ar = pltpu.roll(A, shift=VP - 64, axis=1)  # Ar[i] = A[i+64]
+                for k in range(KW):
+                    src, half = (A, k // 2) if k % 2 == 0 else (Ar, k // 2)
+                    ref[c, k] = src[:, half * _LANE:(half + 1) * _LANE]
+
             if pack:
-                P = _pack_bf16_pair(Q, D)
-                for k in range(KW):
-                    q_ref[c, k] = P[:, k * _LANE:(k + 1) * _LANE]
+                store_windows(q_ref, _pack_bf16_pair(Q, D))
             else:
-                for k in range(KW):
-                    q_ref[c, k] = Q[:, k * _LANE:(k + 1) * _LANE]
-                    dq_ref[c, k] = D[:, k * _LANE:(k + 1) * _LANE]
+                store_windows(q_ref, Q)
+                store_windows(dq_ref, D)
 
     # ---- stage 2: v-interp + accumulate this (1, XT, z_tile) block --------
     # The block holds z_tile//128 lane-width sub-tiles; processing several
     # per grid step amortizes the fixed per-step cost (grid bookkeeping,
     # stage-1 predication, block DMA handshakes) measured at ~25% of the
-    # kernel at z_tile=128.
+    # kernel at z_tile=128.  The running total stays in REGISTERS and
+    # there is NO per-angle control flow: scalar pl.when branches per
+    # (angle, sub-tile) were measured to cost far more than the work they
+    # saved on v5e (47 -> 25-30 Gupd/s for a tile-culling + rare-window
+    # branch variant), so everything is straight-line.
     K = VP // _LANE
     # v affine chain folded into one broadcast mul + scalar add:
     #   v_rel = zs * (factor/l_px_col) + (-v_min/l_px_col - 0.5 - vlo)
@@ -378,15 +425,21 @@ def _bp_kernel(
     inv_lpx = 1.0 / det.l_px_col
     vb = (-grid.v_min / det.l_px_col - 0.5) - vlo.astype(jnp.float32)
     lo_b = -vlo                        # floor(v) >= 0       (band-relative)
-    hi_b = (n_col - 2) - vlo           # floor(v) <= n_col-2
+    v_span = jnp.uint32(n_col - 2)     # hi_b - lo_b (validity range width)
     if debug_variant == 2:          # stage-1 + grid/DMA overhead only
         vol_out_ref[0] = vol_in_ref[0]
         return
+
+    fints = [tile_factor_interval(c) for c in range(C)]
+
     for z2 in range(z_tile // _LANE):
         zb = zt * z_tile + z2 * _LANE    # first z index of this sub-tile
         zidx = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1) + zb + z0g
         zs = zidx.astype(jnp.float32) * l_vx_z + off_z     # (1, LANE)
         total = vol_in_ref[0, :, z2 * _LANE:(z2 + 1) * _LANE]
+        # per-sub-tile scalar z extent (feeds the v window-base interval)
+        zs_lo = (zb + z0g).astype(jnp.float32) * l_vx_z + off_z
+        zs_hi = zs_lo + (_LANE - 1) * l_vx_z
         for c in range(C):
             if debug_variant == 1:      # scratch read + accumulate only
                 g = q_ref[c, 0]
@@ -401,163 +454,61 @@ def _bp_kernel(
             v0f = jnp.floor(v)
             fv = v - v0f
             v0 = v0f.astype(jnp.int32)
-            valid = (v0 >= lo_b) & (v0 <= hi_b)
+            # unsigned range test: v0 in [lo_b, lo_b + v_span]
+            valid = (v0 - lo_b).astype(jnp.uint32) <= v_span
 
-            def gather_windows(kws):
-                """Gather base value and forward difference at v0.
+            def take(ref_ck, idx):
+                return jnp.take_along_axis(ref_ck, idx, axis=1)
 
-                Windows are 128-aligned and consecutive, so the in-window
-                index is just (v0 - base) & 127 shared by every window, and
-                one bucket compare per extra window merges the results.
-                Out-of-range voxels land on garbage lanes and are killed by
-                the final ``valid`` mask.  Returns packed int32 when
-                ``pack`` else an (a0, a1) f32 pair.
+            def gather_merge(k0, nw, relv, idx, step, c=c):
+                """nw 128-wide windows from (traced or static) k0.
+
+                Gathered windows step by ``step`` in the 64-lane-stride
+                scratch (step 2 = disjoint 128-lane coverage), so the
+                in-window index (v0 - base) & 127 is shared and one
+                bucket compare per extra window merges the results.
+                Out-of-cover lanes land on garbage and are killed by the
+                ``valid`` mask (the detector-row band covers every
+                on-detector voxel of the block, corner magnification
+                included — geometry.detector_row_band).
                 """
-                base = kws[0] * _LANE
-                relv = v0 - base
-                idx = relv & (_LANE - 1)
-                bucket = relv >> 7                    # log2(_LANE)
+                bucket = relv >> 7
                 if pack:
-                    a = jnp.take_along_axis(q_ref[c, kws[0]], idx, axis=1)
-                    for j, k in enumerate(kws[1:], start=1):
-                        g = jnp.take_along_axis(q_ref[c, k], idx, axis=1)
+                    a = take(q_ref[c, k0], idx)
+                    for j in range(1, nw):
+                        g = take(q_ref[c, k0 + step * j], idx)
                         a = jnp.where(bucket == j, g, a)
                     return a
-                a0 = jnp.take_along_axis(q_ref[c, kws[0]], idx, axis=1)
-                a1 = jnp.take_along_axis(dq_ref[c, kws[0]], idx, axis=1)
-                for j, k in enumerate(kws[1:], start=1):
+                a0 = take(q_ref[c, k0], idx)
+                a1 = take(dq_ref[c, k0], idx)
+                for j in range(1, nw):
                     m = bucket == j
-                    g0 = jnp.take_along_axis(q_ref[c, k], idx, axis=1)
-                    a0 = jnp.where(m, g0, a0)
-                    g1 = jnp.take_along_axis(dq_ref[c, k], idx, axis=1)
-                    a1 = jnp.where(m, g1, a1)
+                    a0 = jnp.where(m, take(q_ref[c, k0 + step * j], idx), a0)
+                    a1 = jnp.where(m, take(dq_ref[c, k0 + step * j], idx), a1)
                 return a0, a1
-
-            def store_acc(res):
-                if pack:
-                    acc_ref[0] = res
-                else:
-                    acc_ref[0], acc_ref[1] = res
-
-            def load_acc():
-                if pack:
-                    return acc_ref[0]
-                return acc_ref[0], acc_ref[1]
 
             if debug_variant == 4:      # v compute + interp, gathers pinned
                 res = q_ref[c, 0] if pack else (q_ref[c, 0], dq_ref[c, 0])
             elif K <= max(span_w, 2) or window_mode == "direct":
-                res = gather_windows(range(K))
-            elif window_mode in ("dynamic", "dynamic2"):
-                # Lowest touched window from SCALAR interval bounds: the
-                # tile's x/y/z extents and the geometry give conservative
-                # [v_lo, v_hi] without touching a single vector lane.  Any
-                # voxel inside the trace-time radius bound has
-                # denom >= den_floor, so clamping there keeps f_hi a
-                # valid upper bound for every voxel ``safe`` doesn't kill;
-                # interval width <= the same span that sizes span_w, so
-                # span_w windows from k0 always cover the valid voxels
-                # (out-of-cover lanes are killed by the ``valid`` mask).
-                sin_c, cos_c = sin_ref[c], cos_ref[c]
-                xs_lo = (xt * XT + rx1).astype(jnp.float32) * l_vx_x + off_x
-                xs_hi = xs_lo + (XT - 1) * l_vx_x
-                ys_s = (y + ry1).astype(jnp.float32) * l_vx_y + off_y
-                s1 = xs_lo * cos_c + ys_s * sin_c
-                s2 = xs_hi * cos_c + ys_s * sin_c
-                den_lo = jnp.maximum(jnp.minimum(s1, s2) + d_so, den_floor)
-                den_hi = jnp.maximum(jnp.maximum(s1, s2) + d_so, den_lo)
-                f_hi = d_sd / den_lo
-                f_lo = d_sd / den_hi
-                zs_lo = (zb + z0g).astype(jnp.float32) * l_vx_z + off_z
-                zs_hi = zs_lo + (_LANE - 1) * l_vx_z
+                # all K disjoint windows (even scratch indices)
+                relv = v0
+                idx = relv & (_LANE - 1)
+                res = gather_merge(0, K, relv, idx, 2)
+            else:
+                # "dynamic": window base from the SCALAR v interval — the
+                # tile x/y/z extents x geometry give a conservative v_lo
+                # without touching a vector lane; span_w windows stepping
+                # by 2 from the 64-quantized base cover every valid voxel.
+                f_lo, f_hi = fints[c]
                 v_mm_lo = jnp.minimum(
                     jnp.minimum(zs_lo * f_lo, zs_lo * f_hi),
                     jnp.minimum(zs_hi * f_lo, zs_hi * f_hi))
-                rel_lo = ((v_mm_lo - grid.v_min) / det.l_px_col - 0.5)
-                k_lo_raw = (jnp.floor(rel_lo).astype(jnp.int32) - vlo - 1) >> 7
-
-                def gather_dyn(k0, nw):
-                    base = k0 * _LANE
-                    relv = v0 - base
-                    idx = relv & (_LANE - 1)
-                    bucket = relv >> 7
-                    if pack:
-                        a = jnp.take_along_axis(q_ref[c, k0], idx, axis=1)
-                        for j in range(1, nw):
-                            g = jnp.take_along_axis(q_ref[c, k0 + j], idx,
-                                                    axis=1)
-                            a = jnp.where(bucket == j, g, a)
-                        return a
-                    a0 = jnp.take_along_axis(q_ref[c, k0], idx, axis=1)
-                    a1 = jnp.take_along_axis(dq_ref[c, k0], idx, axis=1)
-                    for j in range(1, nw):
-                        m = bucket == j
-                        g0 = jnp.take_along_axis(q_ref[c, k0 + j], idx, axis=1)
-                        a0 = jnp.where(m, g0, a0)
-                        g1 = jnp.take_along_axis(dq_ref[c, k0 + j], idx, axis=1)
-                        a1 = jnp.where(m, g1, a1)
-                    return a0, a1
-
-                if window_mode == "dynamic" or span_w <= 2:
-                    res = gather_dyn(jnp.clip(k_lo_raw, 0, K - span_w), span_w)
-                else:
-                    # dynamic2: one SCALAR branch — most tiles' scalar v
-                    # interval fits span_w-1 windows, gathering one fewer
-                    v_mm_hi = jnp.maximum(
-                        jnp.maximum(zs_lo * f_lo, zs_lo * f_hi),
-                        jnp.maximum(zs_hi * f_lo, zs_hi * f_hi))
-                    rel_hi = ((v_mm_hi - grid.v_min) / det.l_px_col - 0.5)
-                    k_hi_raw = ((jnp.floor(rel_hi).astype(jnp.int32) - vlo + 2)
-                                >> 7)
-                    narrow = (k_hi_raw - k_lo_raw) < (span_w - 1)
-
-                    @pl.when(narrow)
-                    def _narrow():
-                        store_acc(gather_dyn(
-                            jnp.clip(k_lo_raw, 0, K - (span_w - 1)),
-                            span_w - 1))
-
-                    @pl.when(jnp.logical_not(narrow))
-                    def _wide():
-                        store_acc(gather_dyn(
-                            jnp.clip(k_lo_raw, 0, K - span_w), span_w))
-
-                    res = load_acc()
-            else:
-                # Only span_w consecutive windows can be touched by this
-                # tile (static bound); branch on the runtime lowest valid
-                # window so one predicated branch executes.  Most tiles
-                # touch just 2 consecutive windows — detect that at runtime
-                # and dispatch to the cheaper 2-window branches.
-                vmin = jnp.clip(jnp.min(jnp.where(valid, v0, VP - 1)), 0, VP - 1)
-                vmax = jnp.clip(jnp.max(jnp.where(valid, v0, 0)), 0, VP - 2)
-                kspan = (vmax >> 7) - (vmin >> 7) + 1
-
-                if span_w > 2:
-                    kb2 = jnp.clip(vmin >> 7, 0, K - 2)
-
-                    @pl.when(kspan <= 2)
-                    def _fast2():
-                        for k0 in range(K - 1):
-                            @pl.when(kb2 == k0)
-                            def _(k0=k0):
-                                store_acc(gather_windows(range(k0, k0 + 2)))
-
-                    kb = jnp.clip(vmin >> 7, 0, K - span_w)
-
-                    @pl.when(kspan > 2)
-                    def _full():
-                        for k0 in range(K - span_w + 1):
-                            @pl.when(kb == k0)
-                            def _(k0=k0):
-                                store_acc(gather_windows(range(k0, k0 + span_w)))
-                else:
-                    kb2 = jnp.clip(vmin >> 7, 0, K - 2)
-                    for k0 in range(K - 1):
-                        @pl.when(kb2 == k0)
-                        def _(k0=k0):
-                            store_acc(gather_windows(range(k0, k0 + 2)))
-                res = load_acc()
+                rel_lo = (v_mm_lo - grid.v_min) / det.l_px_col - 0.5
+                k_lo_raw = (jnp.floor(rel_lo).astype(jnp.int32) - vlo - 1) >> 6
+                k0 = jnp.clip(k_lo_raw, 0, KW - 1 - 2 * (span_w - 1))
+                relv = v0 - k0 * 64
+                idx = relv & (_LANE - 1)
+                res = gather_merge(k0, span_w, relv, idx, 2)
 
             if pack:
                 q0, d0 = _unpack_bf16_pair(res)
@@ -579,7 +530,7 @@ def backproject_chunk_pallas_yxz(
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     pack_qdq: Optional[bool] = None,
     x_tile: Optional[int] = None,
-    window_mode: Optional[str] = None,   # "direct" | "dynamic" | "ladder"
+    window_mode: Optional[str] = None,   # "branch" | "dynamic" | "direct"
     z_tile: Optional[int] = None,
 ) -> jnp.ndarray:
     """Accumulate C projections into a kernel-layout volume block.
@@ -600,10 +551,14 @@ def backproject_chunk_pallas_yxz(
     if x_tile is None:       # env knobs for kernel experiments
         x_tile = int(os.environ.get("PARIS_BP_XTILE", _XTILE))
     if window_mode is None:
-        # v5e 512^3/K=4 C=8 honest A/B (Gupd/s, fast|exact):
-        # ladder 15.6|13.1, direct 35.2|19.8, dynamic 40.5|23.1.
+        # v5e A/B history (Gupd/s, 512-class fast): per-window branch
+        # ladder 15.6, all-K-window "direct" 35.2, scalar-interval-base
+        # "dynamic" 40.5 (and per-angle pl.when variants — tile culling,
+        # rare-3rd-window branch — measured 25-30 at the 1024 flagship vs
+        # 47 straight-line: scalar branches per (angle, sub-tile) cost
+        # more than the gathers they save).
         window_mode = os.environ.get("PARIS_BP_WINDOWS", "dynamic")
-    if window_mode not in ("direct", "dynamic", "dynamic2", "ladder"):
+    if window_mode not in ("direct", "dynamic"):
         raise ValueError(f"unknown window_mode {window_mode!r}")
     offsets = jnp.asarray(offsets, jnp.int32)
     if offsets.shape[0] == 3:
@@ -657,14 +612,15 @@ def backproject_chunk_pallas_yxz(
         window_mode=window_mode, den_floor=den_floor, z_tile=z_tile,
         debug_variant=int(os.environ.get("PARIS_BP_DEBUG_VARIANT", "0")))
 
-    K = VP // _LANE
+    # Q windows live at 64-lane stride (overlapping), KW = 2*VP/128 - 1:
+    # halves the worst-case gather count per (angle, sub-tile) at the
+    # cost of doubling the scratch (accounted in pipeline.max_chunk_size)
+    KW = max(1, 2 * (VP // _LANE) - 1)
     if pack_qdq:
-        scratch = [pltpu.VMEM((C, K, x_tile, _LANE), jnp.int32),
-                   pltpu.VMEM((1, x_tile, _LANE), jnp.int32)]
+        scratch = [pltpu.VMEM((C, KW, x_tile, _LANE), jnp.int32)]
     else:
-        scratch = [pltpu.VMEM((C, K, x_tile, _LANE), jnp.float32),
-                   pltpu.VMEM((C, K, x_tile, _LANE), jnp.float32),
-                   pltpu.VMEM((2, x_tile, _LANE), jnp.float32)]
+        scratch = [pltpu.VMEM((C, KW, x_tile, _LANE), jnp.float32),
+                   pltpu.VMEM((C, KW, x_tile, _LANE), jnp.float32)]
 
     proj_spec = pl.BlockSpec((C, HP, VP), lambda y, xt, zt: (0, 0, 0),
                              memory_space=pltpu.VMEM)

@@ -73,9 +73,13 @@ def _proj_sublane(accuracy: str) -> int:
 
 
 def _scratch_rows(accuracy: str) -> int:
-    """Per-chunk VMEM scratch rows (Q[/dQ]) in units of VP-wide f32 rows."""
+    """Per-chunk VMEM scratch rows (Q[/dQ]) in units of VP-wide f32 rows.
+
+    The kernel's window-major scratch stores 64-lane-stride windows
+    (2*VP/128 - 1 of them), ~2x the VP width — hence the factor 2.
+    """
     from .ops import backprojection_pallas as bpp
-    return bpp._XTILE * (1 if accuracy == "fast" else 2)
+    return bpp._XTILE * 2 * (1 if accuracy == "fast" else 2)
 
 
 class Reconstructor:

@@ -280,3 +280,52 @@ def test_his_fuzz_frame_headers_and_mixed_dtypes(tmp_path):
     assert len(streamed) == len(expected)
     for got, exp in zip(streamed, expected):
         np.testing.assert_array_equal(got, exp)
+
+
+def test_his_fuzz_mixed_headers_and_dtypes(tmp_path):
+    """Fuzz-ish HIS hardening (reference src/his.cpp:157-166 tolerates
+    arbitrary per-frame image headers): random image_header_size (with
+    NONZERO garbage content, which must be skipped, not parsed), every
+    supported dtype mixed in one directory, random frame counts — all
+    streamed through ProjectionSource in sorted order."""
+    import struct
+
+    from paris_tpu.io.his import read_his, write_his, _FILE_HEADER_SIZE
+    from paris_tpu.io.source import ProjectionSource
+
+    rng = np.random.default_rng(42)
+    dtypes = [np.uint8, np.uint16, np.uint32, np.float64, np.float32]
+    h, w = 24, 40
+    expected = []
+    for i, hdr_size in enumerate([0, 7, 32, 100, 257]):
+        dt = dtypes[i]
+        n = int(rng.integers(1, 5))
+        if np.issubdtype(dt, np.integer):
+            frames = rng.integers(0, np.iinfo(dt).max, (n, h, w)).astype(dt)
+        else:
+            frames = rng.standard_normal((n, h, w)).astype(dt)
+        path = tmp_path / f"f{i:02d}.his"
+        write_his(path, frames, number_dtype=dt, image_header_size=hdr_size)
+        # overwrite the zeroed per-frame headers with garbage bytes: the
+        # reader must SKIP them (a reader that parses or miscounts them
+        # would corrupt every subsequent frame offset)
+        if hdr_size:
+            raw = bytearray(path.read_bytes())
+            frame_bytes = w * h * np.dtype(dt).itemsize
+            pos = _FILE_HEADER_SIZE
+            for _ in range(n):
+                raw[pos:pos + hdr_size] = rng.integers(
+                    0, 256, hdr_size, dtype=np.uint8).tobytes()
+                pos += hdr_size + frame_bytes
+            path.write_bytes(bytes(raw))
+        back = read_his(str(path))
+        np.testing.assert_array_equal(back, frames.astype(np.float32))
+        expected.append(frames.astype(np.float32))
+
+    flat = np.concatenate(expected)
+    src = ProjectionSource(str(tmp_path), delta_phi=1.0)
+    got = []
+    for chunk in src.iter_chunks(3):
+        got.extend(p.data for p in chunk)
+    assert len(got) == len(flat)
+    np.testing.assert_array_equal(np.stack(got), flat)
