@@ -96,12 +96,18 @@ def backproject_chunk_xla(
     grid: BpGrid,
     z_offset: int = 0,             # global z of this block's first slice
     roi_offset: Tuple[int, int, int] = (0, 0, 0),  # (x1, y1, z1) ROI origin
+    max_temp_bytes: int = 256 << 20,
 ) -> jnp.ndarray:
     """Accumulate a chunk of projections into a volume z-block.
 
     ``z_offset`` is threaded explicitly per call (the reference cached it
     in thread_local statics, causing its stale-offset bug — SURVEY.md §5
     bug 2).
+
+    The bilinear sample materializes a (slab, ny, nx) temp per angle;
+    ``max_temp_bytes`` bounds it by processing the block in z-slabs
+    (this is the CPU/GPU *product* path, not just an oracle — a 1024^3
+    block would otherwise need a 4 GB temp alongside the accumulator).
     """
     det, vol = grid.det, grid.vol
     dz, ny, nx = volume.shape
@@ -113,18 +119,31 @@ def backproject_chunk_xla(
         jnp.arange(dz, dtype=jnp.float32) + (rz1 + z_offset), vol.dim_z, vol.l_vx_z
     )
 
-    def body(c, acc):
-        sin_c, cos_c = sin_phi[c], cos_phi[c]
-        p = projections[c]
-        s = xs[None, :] * cos_c + ys[:, None] * sin_c          # (ny, nx)
-        t = -xs[None, :] * sin_c + ys[:, None] * cos_c
-        inv = 1.0 / (s + grid.d_so)
-        factor = grid.d_sd * inv
-        h = (t * factor - grid.h_min) / det.l_px_row - 0.5     # (ny, nx)
-        u2 = (grid.d_so * inv) ** 2
-        w = 0.5 * u2                                           # (ny, nx)
-        v = (zs[:, None, None] * factor[None] - grid.v_min) / det.l_px_col - 0.5
-        det_val = _bilinear_border0(p, v, jnp.broadcast_to(h, v.shape))
-        return acc + w[None] * det_val
+    def run_slab(slab, zs_sub):
+        def body(c, acc):
+            sin_c, cos_c = sin_phi[c], cos_phi[c]
+            p = projections[c]
+            s = xs[None, :] * cos_c + ys[:, None] * sin_c      # (ny, nx)
+            t = -xs[None, :] * sin_c + ys[:, None] * cos_c
+            inv = 1.0 / (s + grid.d_so)
+            factor = grid.d_sd * inv
+            h = (t * factor - grid.h_min) / det.l_px_row - 0.5  # (ny, nx)
+            u2 = (grid.d_so * inv) ** 2
+            w = 0.5 * u2                                        # (ny, nx)
+            v = (zs_sub[:, None, None] * factor[None]
+                 - grid.v_min) / det.l_px_col - 0.5
+            det_val = _bilinear_border0(p, v, jnp.broadcast_to(h, v.shape))
+            return acc + w[None] * det_val
 
-    return jax.lax.fori_loop(0, projections.shape[0], body, volume)
+        return jax.lax.fori_loop(0, projections.shape[0], body, slab)
+
+    zc = max(1, int(max_temp_bytes) // (4 * ny * nx))
+    if dz <= zc:
+        return run_slab(volume, zs)
+    slabs = []
+    for z0 in range(0, dz, zc):
+        d = min(zc, dz - z0)
+        slabs.append(run_slab(
+            jax.lax.slice_in_dim(volume, z0, z0 + d, axis=0),
+            zs[z0:z0 + d]))
+    return jnp.concatenate(slabs, axis=0)

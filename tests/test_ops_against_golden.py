@@ -116,3 +116,27 @@ def test_backprojection_roi_offset_matches_crop(det, rng):
     np.testing.assert_allclose(
         roi, full[z1:z1 + dz, y1:y1 + dy, x1:x1 + dx], rtol=1e-5, atol=1e-6,
     )
+
+
+def test_xla_backproject_z_slabbed_matches_unslabbed():
+    """max_temp_bytes z-slabbing is a pure working-set knob: forcing
+    many tiny slabs must reproduce the single-slab result exactly."""
+    import jax.numpy as jnp
+
+    from paris_tpu.geometry import DetectorGeometry, derive_volume_geometry
+    from paris_tpu.ops.backprojection_xla import (backproject_chunk_xla,
+                                                  make_bp_grid)
+
+    det = DetectorGeometry(48, 48, 2.0, 2.0, 0.5, -0.25, 400.0, 400.0, 5.0)
+    vol = derive_volume_geometry(det)
+    grid = make_bp_grid(det, vol)
+    rng = np.random.default_rng(3)
+    projs = jnp.asarray(
+        rng.standard_normal((4, det.n_col, det.n_row)).astype(np.float32))
+    phi = np.deg2rad(np.arange(4) * 30.0).astype(np.float32)
+    sin, cos = jnp.asarray(np.sin(phi)), jnp.asarray(np.cos(phi))
+    v0 = jnp.zeros((vol.dim_z, vol.dim_y, vol.dim_x), jnp.float32)
+    full = backproject_chunk_xla(v0, projs, sin, cos, grid)
+    slabbed = backproject_chunk_xla(v0, projs, sin, cos, grid,
+                                    max_temp_bytes=4 * vol.dim_x * vol.dim_y * 3)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(slabbed))
