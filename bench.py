@@ -83,12 +83,14 @@ def main():
     cos = jnp.asarray(np.cos(phi))
     chunk_j = jnp.asarray(chunk)
     z0 = 0
-    offs = jnp.asarray([0, 0, z0, rec._v_band_lo(z0)], jnp.int32)
+    vlo = rec._v_band_lo(z0) if rec.backend == "pallas" else 0
+    offs = jnp.asarray([0, 0, z0, vlo], jnp.int32)
+    extra = (z0, vlo) if rec.backend == "pallas" else ()
 
     volume = rec.init_block()
     # compile + warmup (materialize: block_until_ready alone can return
     # before donated-alias pallas outputs are actually computed)
-    volume = rec._step(volume, chunk_j, sin, cos, offs)
+    volume = rec._step(volume, chunk_j, sin, cos, offs, *extra)
     float(jnp.sum(volume))
 
     block_voxels = (block_shape[0] * block_shape[1] * block_shape[2]
@@ -96,7 +98,7 @@ def main():
     iters = min(100, max(3, int(np.ceil(2.0e10 / (block_voxels * C)))))
     t0 = time.perf_counter()
     for _ in range(iters):
-        volume = rec._step(volume, chunk_j, sin, cos, offs)
+        volume = rec._step(volume, chunk_j, sin, cos, offs, *extra)
     float(jnp.sum(volume))
     dt = (time.perf_counter() - t0) / iters
 

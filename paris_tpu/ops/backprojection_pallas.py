@@ -210,6 +210,43 @@ def _v_span_px(grid: BpGrid, x_tile: int = _XTILE) -> float:
             + _v_xspread_bound(grid, x_tile) + 4.0)
 
 
+def _static_window_plan(grid: BpGrid, z0s: int, vls: int, VP: int, KW: int,
+                        n_z2: int) -> list:
+    """Trace-time per-z2 window plan [(base, n_windows)] for single
+    z-step grids with STATIC block z-offset ``z0s`` and detector-row
+    band start ``vls``.
+
+    Every voxel's v lies in z_mm x [f_lo, f_hi] (the global factor
+    interval from the corner-radius bound); a sub-tile's worst-case v
+    interval is therefore known at trace time, killing the per-(angle,
+    sub-tile) scalar chains AND the dynamic scratch addressing of the
+    "dynamic" mode.  Unsafe voxels (weight 0) gather zeros from their
+    all-zero Q rows regardless of the window set, so only safe voxels
+    constrain coverage.
+    """
+    det, vol = grid.det, grid.vol
+    r_b = min((vol.dim_x / 2.0) * vol.l_vx_x * math.sqrt(2.0),
+              abs(grid.d_so) * 0.95)
+    f_lo = grid.d_sd / (abs(grid.d_so) + r_b)
+    f_hi = grid.d_sd / (abs(grid.d_so) - r_b)
+    off_z = -(vol.dim_z * vol.l_vx_z) / 2.0 + vol.l_vx_z / 2.0
+    plan = []
+    for z2 in range(n_z2):
+        z_mm_lo = (z2 * _LANE + z0s) * vol.l_vx_z + off_z
+        z_mm_hi = z_mm_lo + (_LANE - 1) * vol.l_vx_z
+        cands = [z_mm_lo * f_lo, z_mm_lo * f_hi,
+                 z_mm_hi * f_lo, z_mm_hi * f_hi]
+        v_lo = (min(cands) - grid.v_min) / det.l_px_col - 0.5 - vls
+        v_hi = (max(cands) - grid.v_min) / det.l_px_col - 0.5 - vls
+        lo = max(0, int(math.floor(v_lo)) - 2)
+        hi = min(VP - 1, int(math.ceil(v_hi)) + 3)   # +1 bilinear, +2 slack
+        wb = min(lo >> 6, KW - 1)
+        nw = max(1, -(-(hi - 64 * wb + 1) // _LANE))
+        nw = min(nw, (KW - 1 - wb) // 2 + 1)
+        plan.append((wb, nw))
+    return plan
+
+
 def _v_span_windows(grid: BpGrid, x_tile: int = _XTILE) -> int:
     """128-wide v windows needed per (x, z) tile from a 64-QUANTIZED base.
 
@@ -264,17 +301,27 @@ def _bp_kernel(
     den_floor: float,
     z_tile: int = _LANE,
     debug_variant: int = 0,
+    swin=None,      # static per-z2 window plan [(base, n_windows), ...]
 ):
     if x3:      # bf16x3: projections arrive as (hi, lo) bf16 planes
         proj_ref, proj_lo_ref, vol_in_ref, vol_out_ref, *scratch = refs
     else:
         proj_ref, vol_in_ref, vol_out_ref, *scratch = refs
         proj_lo_ref = None
+    pf_q = pf_d = pf_sem = None
+    has_pf = (window_mode == "prefetch"
+              and VP // _LANE > max(span_w, 2))   # mirrors wrapper scratch
     if pack:
-        q_ref, = scratch
+        if has_pf:
+            q_ref, pf_q, pf_sem = scratch
+        else:
+            q_ref, = scratch
         dq_ref = None
     else:
-        q_ref, dq_ref = scratch
+        if has_pf:
+            q_ref, dq_ref, pf_q, pf_d, pf_sem = scratch
+        else:
+            q_ref, dq_ref = scratch
     det, vol = grid.det, grid.vol
     y = pl.program_id(0)
     xt = pl.program_id(1)
@@ -353,6 +400,8 @@ def _bp_kernel(
             # sublane-aligned window start (Mosaic requires the dtype's
             # native sublane quantum: 8 for f32, 16 for bf16)
             b0 = pl.multiple_of((b0 // sub) * sub, sub)
+            if debug_variant == 7:   # static band base (cost isolation)
+                b0 = 0
             rel = h0 - b0                                 # (XT, 1)
             fhw = jnp.where(valid_h, fh, 0.0)
             one_m = jnp.where(valid_h, 1.0 - fh, 0.0)
@@ -386,9 +435,6 @@ def _bp_kernel(
             # 0.5*(d_so/denom)^2 weight stays exact.  Once per column —
             # stage 2 never multiplies by it per z-tile.
             Q = Q * weight
-            # forward difference along v: det = Q[v0] + fv * dQ[v0]
-            D = (jnp.concatenate(
-                [Q[:, 1:], jnp.zeros((XT, 1), jnp.float32)], axis=1) - Q)
             def store_windows(ref, A, c=c):
                 """Even windows are aligned slices of A; odd ones are
                 aligned slices of A rotated left by 64 lanes (one native
@@ -401,8 +447,27 @@ def _bp_kernel(
                     ref[c, k] = src[:, half * _LANE:(half + 1) * _LANE]
 
             if pack:
-                store_windows(q_ref, _pack_bf16_pair(Q, D))
+                # NEIGHBOR pack: int32 lane = (bf16(Q[v]) << 16) |
+                # bf16(Q[v+1]).  One rounded bf16 plane + one lane-roll
+                # replaces the old (Q, D) pack's separate D construction
+                # and second rounding (~5 fewer VPU ops per VP lane);
+                # stage 2 forms the forward difference after the gather.
+                # The roll's wrapped last lane (Q[VP-1+1] = Q[0]) is only
+                # reachable at v0 = VP-1, which the validity mask kills
+                # (v0 <= n_col-2 for valid lanes).
+                bias = jnp.int32(0x8000)
+                B = jnp.bitwise_and(
+                    jax.lax.bitcast_convert_type(Q, jnp.int32) + bias,
+                    jnp.int32(-65536))
+                Br = pltpu.roll(B, shift=VP - 1, axis=1)   # Br[l] = B[l+1]
+                store_windows(
+                    q_ref, jnp.bitwise_or(
+                        B, jax.lax.shift_right_logical(Br, 16)))
             else:
+                # forward difference along v: det = Q[v0] + fv * dQ[v0]
+                D = (jnp.concatenate(
+                    [Q[:, 1:], jnp.zeros((XT, 1), jnp.float32)],
+                    axis=1) - Q)
                 store_windows(q_ref, Q)
                 store_windows(dq_ref, D)
 
@@ -432,6 +497,209 @@ def _bp_kernel(
 
     fints = [tile_factor_interval(c) for c in range(C)]
 
+    # ---- "prefetch" mode: DMA-pipelined dynamic windows -----------------
+    # The dynamic-window fetch is a VMEM copy whose cost scales with the
+    # bytes moved (measured: ~30ns per (angle, sub-tile) pair at the 1024
+    # flagship — 3.7 ps/update, the single largest stage-2 term after the
+    # takes).  Issuing it as an async DMA DEPTH iterations ahead overlaps
+    # the copy with the previous iterations' gather+interp VPU work; the
+    # takes then read a statically-indexed rotating buffer.
+    n_z2 = z_tile // _LANE
+    if swin is not None and debug_variant == 0:
+        # ---- STATIC window plan (single z-step grids + static block
+        # offsets): the per-(angle, sub-tile) window set was derived at
+        # TRACE time from the global factor interval, so stage 2 has no
+        # scalar chains, no dynamic scratch addressing (measured ~4 ps/upd
+        # at the 1024 flagship), and nw as low as 2 for sub-tiles near
+        # the rotation-axis z-center where the factor spread is narrow.
+        fscales = [per_angle(c)[1] * inv_lpx for c in range(C)]
+        for z2 in range(n_z2):
+            wb, nw = swin[z2]
+            zb = z2 * _LANE             # single z-step: zt == 0
+            zidx = (jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+                    + zb + z0g)
+            zs = zidx.astype(jnp.float32) * l_vx_z + off_z
+            total = vol_in_ref[0, :, z2 * _LANE:(z2 + 1) * _LANE]
+            vb_adj = vb - jnp.float32(64 * wb)
+            lo_adj = lo_b - 64 * wb
+            for c in range(C):
+                v = zs * fscales[c] + vb_adj
+                v0f = jnp.floor(v)
+                fv = v - v0f
+                relv = v0f.astype(jnp.int32)     # window-relative v0
+                valid = (relv - lo_adj).astype(jnp.uint32) <= v_span
+                idx = relv & (_LANE - 1)
+                bucket = relv >> 7
+                if pack:
+                    a = jnp.take_along_axis(q_ref[c, wb], idx, axis=1)
+                    for j in range(1, nw):
+                        a = jnp.where(bucket == j, jnp.take_along_axis(
+                            q_ref[c, wb + 2 * j], idx, axis=1), a)
+                    q0, q1 = _unpack_bf16_pair(a)
+                    d0 = q1 - q0
+                else:
+                    a0 = jnp.take_along_axis(q_ref[c, wb], idx, axis=1)
+                    a1 = jnp.take_along_axis(dq_ref[c, wb], idx, axis=1)
+                    for j in range(1, nw):
+                        m = bucket == j
+                        a0 = jnp.where(m, jnp.take_along_axis(
+                            q_ref[c, wb + 2 * j], idx, axis=1), a0)
+                        a1 = jnp.where(m, jnp.take_along_axis(
+                            dq_ref[c, wb + 2 * j], idx, axis=1), a1)
+                    q0, d0 = a0, a1
+                total = total + jnp.where(valid, q0 + fv * d0, 0.0)
+            vol_out_ref[0, :, z2 * _LANE:(z2 + 1) * _LANE] = total
+        return
+
+    if window_mode == "hoist" and K > max(span_w, 2) and debug_variant == 0:
+        # like "dynamic", but ALL (angle, sub-tile) window bases are
+        # computed up front so the scalar unit runs ahead of the vector
+        # loads that consume them
+        k_hi = KW - 1 - 2 * (span_w - 1)
+
+        def k0_for(z2, c):
+            zb = zt * z_tile + z2 * _LANE
+            z_lo = (zb + z0g).astype(jnp.float32) * l_vx_z + off_z
+            z_hi = z_lo + (_LANE - 1) * l_vx_z
+            f_lo, f_hi = fints[c]
+            v_mm_lo = jnp.minimum(
+                jnp.minimum(z_lo * f_lo, z_lo * f_hi),
+                jnp.minimum(z_hi * f_lo, z_hi * f_hi))
+            rel_lo = (v_mm_lo - grid.v_min) / det.l_px_col - 0.5
+            kr = (jnp.floor(rel_lo).astype(jnp.int32) - vlo - 1) >> 6
+            return jnp.clip(kr, 0, k_hi)
+
+        k0s = [[k0_for(z2, c) for c in range(C)] for z2 in range(n_z2)]
+        fscales = [per_angle(c)[1] * inv_lpx for c in range(C)]
+        for z2 in range(n_z2):
+            zb = zt * z_tile + z2 * _LANE
+            zidx = (jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+                    + zb + z0g)
+            zs = zidx.astype(jnp.float32) * l_vx_z + off_z
+            total = vol_in_ref[0, :, z2 * _LANE:(z2 + 1) * _LANE]
+            for c in range(C):
+                k0 = k0s[z2][c]
+                v = zs * fscales[c] + vb
+                v0f = jnp.floor(v)
+                fv = v - v0f
+                v0 = v0f.astype(jnp.int32)
+                valid = (v0 - lo_b).astype(jnp.uint32) <= v_span
+                relv = v0 - k0 * 64
+                idx = relv & (_LANE - 1)
+                bucket = relv >> 7
+
+                def take(ref_ck, i):
+                    return jnp.take_along_axis(ref_ck, i, axis=1)
+
+                if pack:
+                    a = take(q_ref[c, k0], idx)
+                    for j in range(1, span_w):
+                        a = jnp.where(bucket == j,
+                                      take(q_ref[c, k0 + 2 * j], idx), a)
+                    q0, q1 = _unpack_bf16_pair(a)
+                    d0 = q1 - q0
+                else:
+                    a0 = take(q_ref[c, k0], idx)
+                    a1 = take(dq_ref[c, k0], idx)
+                    for j in range(1, span_w):
+                        m = bucket == j
+                        a0 = jnp.where(m, take(q_ref[c, k0 + 2 * j], idx),
+                                       a0)
+                        a1 = jnp.where(m, take(dq_ref[c, k0 + 2 * j], idx),
+                                       a1)
+                    q0, d0 = a0, a1
+                total = total + jnp.where(valid, q0 + fv * d0, 0.0)
+            vol_out_ref[0, :, z2 * _LANE:(z2 + 1) * _LANE] = total
+        return
+
+    if window_mode == "prefetch" and K > max(span_w, 2) \
+            and debug_variant == 0:
+        NW = 2 * (span_w - 1) + 1
+        NBUF = 3
+        DEPTH = 2
+        n_it = n_z2 * C
+        k_hi = KW - NW
+
+        def k0_for(i):
+            z2, c = divmod(i, C)
+            zb = zt * z_tile + z2 * _LANE
+            z_lo = (zb + z0g).astype(jnp.float32) * l_vx_z + off_z
+            z_hi = z_lo + (_LANE - 1) * l_vx_z
+            f_lo, f_hi = fints[c]
+            v_mm_lo = jnp.minimum(
+                jnp.minimum(z_lo * f_lo, z_lo * f_hi),
+                jnp.minimum(z_hi * f_lo, z_hi * f_hi))
+            rel_lo = (v_mm_lo - grid.v_min) / det.l_px_col - 0.5
+            kr = (jnp.floor(rel_lo).astype(jnp.int32) - vlo - 1) >> 6
+            return jnp.clip(kr, 0, k_hi)
+
+        k0s = [k0_for(i) for i in range(n_it)]
+
+        def _dmas(i):
+            c, slot = i % C, i % NBUF
+            out = [pltpu.make_async_copy(
+                q_ref.at[c, pl.ds(k0s[i], NW)], pf_q.at[slot],
+                pf_sem.at[slot, 0])]
+            if not pack:
+                out.append(pltpu.make_async_copy(
+                    dq_ref.at[c, pl.ds(k0s[i], NW)], pf_d.at[slot],
+                    pf_sem.at[slot, 1]))
+            return out
+
+        for i in range(min(DEPTH, n_it)):
+            for d in _dmas(i):
+                d.start()
+        for z2 in range(n_z2):
+            zb = zt * z_tile + z2 * _LANE
+            zidx = (jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+                    + zb + z0g)
+            zs = zidx.astype(jnp.float32) * l_vx_z + off_z
+            total = vol_in_ref[0, :, z2 * _LANE:(z2 + 1) * _LANE]
+            for c in range(C):
+                i = z2 * C + c
+                for d in _dmas(i):
+                    d.wait()
+                slot = i % NBUF
+                _, factor, _ = per_angle(c)
+                v = zs * (factor * inv_lpx) + vb
+                v0f = jnp.floor(v)
+                fv = v - v0f
+                v0 = v0f.astype(jnp.int32)
+                valid = (v0 - lo_b).astype(jnp.uint32) <= v_span
+                relv = v0 - k0s[i] * 64
+                idx = relv & (_LANE - 1)
+                bucket = relv >> 7
+                if pack:
+                    a = jnp.take_along_axis(pf_q[slot, 0], idx, axis=1)
+                    for j in range(1, span_w):
+                        g = jnp.take_along_axis(pf_q[slot, 2 * j], idx,
+                                                axis=1)
+                        a = jnp.where(bucket == j, g, a)
+                    q0, q1 = _unpack_bf16_pair(a)
+                    d0 = q1 - q0
+                else:
+                    a0 = jnp.take_along_axis(pf_q[slot, 0], idx, axis=1)
+                    a1 = jnp.take_along_axis(pf_d[slot, 0], idx, axis=1)
+                    for j in range(1, span_w):
+                        m = bucket == j
+                        a0 = jnp.where(m, jnp.take_along_axis(
+                            pf_q[slot, 2 * j], idx, axis=1), a0)
+                        a1 = jnp.where(m, jnp.take_along_axis(
+                            pf_d[slot, 2 * j], idx, axis=1), a1)
+                    q0, d0 = a0, a1
+                if i + DEPTH < n_it:
+                    for d in _dmas(i + DEPTH):
+                        d.start()
+                total = total + jnp.where(valid, q0 + fv * d0, 0.0)
+            vol_out_ref[0, :, z2 * _LANE:(z2 + 1) * _LANE] = total
+        return
+
+    # z-invariant per-angle vector state, hoisted out of the z2 loop:
+    # factor (XT, 1) and its premultiplied v-scale (the (64,1)-shaped
+    # geometry chain is ~80 VREG-ops per evaluation; recomputing it per
+    # (angle, sub-tile) cost ~10% of the kernel)
+    fscales = [per_angle(c)[1] * inv_lpx for c in range(C)]
+
     for z2 in range(z_tile // _LANE):
         zb = zt * z_tile + z2 * _LANE    # first z index of this sub-tile
         zidx = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1) + zb + z0g
@@ -449,8 +717,7 @@ def _bp_kernel(
                 else:
                     total = total + g
                 continue
-            _, factor, _ = per_angle(c)                        # (XT, 1)
-            v = zs * (factor * inv_lpx) + vb                   # (XT, LANE)
+            v = zs * fscales[c] + vb                           # (XT, LANE)
             v0f = jnp.floor(v)
             fv = v - v0f
             v0 = v0f.astype(jnp.int32)
@@ -489,6 +756,26 @@ def _bp_kernel(
 
             if debug_variant == 4:      # v compute + interp, gathers pinned
                 res = q_ref[c, 0] if pack else (q_ref[c, 0], dq_ref[c, 0])
+            elif debug_variant == 5:
+                # full dynamic-mode index math, but STATIC table base:
+                # isolates the cost of the dynamic scratch window address
+                f_lo, f_hi = fints[c]
+                v_mm_lo = jnp.minimum(
+                    jnp.minimum(zs_lo * f_lo, zs_lo * f_hi),
+                    jnp.minimum(zs_hi * f_lo, zs_hi * f_hi))
+                rel_lo = (v_mm_lo - grid.v_min) / det.l_px_col - 0.5
+                k_lo_raw = (jnp.floor(rel_lo).astype(jnp.int32) - vlo - 1) >> 6
+                k0 = jnp.clip(k_lo_raw, 0, KW - 1 - 2 * (span_w - 1))
+                relv = v0 - k0 * 64
+                idx = relv & (_LANE - 1)
+                res = gather_merge(0, span_w, relv, idx, 2)
+            elif debug_variant == 6:
+                # dynamic table base from a TRIVIAL scalar (no f32 chain):
+                # isolates the scalar-computation cost
+                k0 = jnp.int32((c + z2) % max(1, KW - 1 - 2 * (span_w - 1)))
+                relv = v0 - k0 * 64
+                idx = relv & (_LANE - 1)
+                res = gather_merge(k0, span_w, relv, idx, 2)
             elif K <= max(span_w, 2) or window_mode == "direct":
                 # all K disjoint windows (even scratch indices)
                 relv = v0
@@ -508,10 +795,35 @@ def _bp_kernel(
                 k0 = jnp.clip(k_lo_raw, 0, KW - 1 - 2 * (span_w - 1))
                 relv = v0 - k0 * 64
                 idx = relv & (_LANE - 1)
-                res = gather_merge(k0, span_w, relv, idx, 2)
+                if window_mode == "dynamic1":
+                    # ONE contiguous dynamic slice covering all span_w
+                    # windows (includes the unused odd middles): the
+                    # dynamic-address cost is paid once, the takes then
+                    # index the fetched value statically.
+                    nw = 2 * (span_w - 1) + 1
+                    if pack:
+                        win = q_ref[c, pl.ds(k0, nw)]
+                        a = take(win[0], idx)
+                        for j in range(1, span_w):
+                            a = jnp.where(relv >> 7 == j,
+                                          take(win[2 * j], idx), a)
+                        res = a
+                    else:
+                        winq = q_ref[c, pl.ds(k0, nw)]
+                        wind = dq_ref[c, pl.ds(k0, nw)]
+                        a0 = take(winq[0], idx)
+                        a1 = take(wind[0], idx)
+                        for j in range(1, span_w):
+                            m = relv >> 7 == j
+                            a0 = jnp.where(m, take(winq[2 * j], idx), a0)
+                            a1 = jnp.where(m, take(wind[2 * j], idx), a1)
+                        res = (a0, a1)
+                else:
+                    res = gather_merge(k0, span_w, relv, idx, 2)
 
             if pack:
-                q0, d0 = _unpack_bf16_pair(res)
+                q0, q1 = _unpack_bf16_pair(res)
+                d0 = q1 - q0
             else:
                 q0, d0 = res
             total = total + jnp.where(valid, q0 + fv * d0, 0.0)
@@ -532,6 +844,7 @@ def backproject_chunk_pallas_yxz(
     x_tile: Optional[int] = None,
     window_mode: Optional[str] = None,   # "branch" | "dynamic" | "direct"
     z_tile: Optional[int] = None,
+    static_plan: Optional[Tuple[int, int]] = None,   # (z0, v_band_lo) ints
 ) -> jnp.ndarray:
     """Accumulate C projections into a kernel-layout volume block.
 
@@ -558,7 +871,8 @@ def backproject_chunk_pallas_yxz(
         # 47 straight-line: scalar branches per (angle, sub-tile) cost
         # more than the gathers they save).
         window_mode = os.environ.get("PARIS_BP_WINDOWS", "dynamic")
-    if window_mode not in ("direct", "dynamic"):
+    if window_mode not in ("direct", "dynamic", "dynamic1", "prefetch",
+                           "hoist"):
         raise ValueError(f"unknown window_mode {window_mode!r}")
     offsets = jnp.asarray(offsets, jnp.int32)
     if offsets.shape[0] == 3:
@@ -605,12 +919,26 @@ def backproject_chunk_pallas_yxz(
               abs(grid.d_so) * 0.95)
     den_floor = abs(grid.d_so) - r_b
 
+    # static per-z2 window plan: only valid when the z grid is a single
+    # step (the plan indexes sub-tiles by absolute z) and the dynamic
+    # machinery would otherwise be engaged
+    swin = None
+    if (static_plan is not None and nzp == z_tile
+            and VP // _LANE > max(span_w, 2)
+            and window_mode in ("dynamic", "hoist")
+            and os.environ.get("PARIS_BP_STATICWIN", "1") != "0"):
+        z0s, vls = static_plan
+        swin = _static_window_plan(
+            grid, int(z0s), int(vls), VP, max(1, 2 * (VP // _LANE) - 1),
+            z_tile // _LANE)
+
     kern = functools.partial(
         _bp_kernel, grid=grid, C=C, HP=HP, VP=VP, band=band,
         mm_precision=precision, span_w=span_w, x_tile=x_tile, sub=sub,
         pack=pack_qdq, x3=x3,
         window_mode=window_mode, den_floor=den_floor, z_tile=z_tile,
-        debug_variant=int(os.environ.get("PARIS_BP_DEBUG_VARIANT", "0")))
+        debug_variant=int(os.environ.get("PARIS_BP_DEBUG_VARIANT", "0")),
+        swin=swin)
 
     # Q windows live at 64-lane stride (overlapping), KW = 2*VP/128 - 1:
     # halves the worst-case gather count per (angle, sub-tile) at the
@@ -621,6 +949,16 @@ def backproject_chunk_pallas_yxz(
     else:
         scratch = [pltpu.VMEM((C, KW, x_tile, _LANE), jnp.float32),
                    pltpu.VMEM((C, KW, x_tile, _LANE), jnp.float32)]
+    if window_mode == "prefetch" and VP // _LANE > max(span_w, 2):
+        # rotating DMA-prefetch buffers (3 slots, span windows each)
+        nw = 2 * (span_w - 1) + 1
+        if pack_qdq:
+            scratch += [pltpu.VMEM((3, nw, x_tile, _LANE), jnp.int32),
+                        pltpu.SemaphoreType.DMA((3, 1))]
+        else:
+            scratch += [pltpu.VMEM((3, nw, x_tile, _LANE), jnp.float32),
+                        pltpu.VMEM((3, nw, x_tile, _LANE), jnp.float32),
+                        pltpu.SemaphoreType.DMA((3, 2))]
 
     proj_spec = pl.BlockSpec((C, HP, VP), lambda y, xt, zt: (0, 0, 0),
                              memory_space=pltpu.VMEM)

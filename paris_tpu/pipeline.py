@@ -21,6 +21,7 @@ the convenience one-shot driver.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -142,7 +143,7 @@ class Reconstructor:
             srows = _scratch_rows(accuracy)
             pb = _proj_bytes(accuracy)
             vmem_est = self.chunk_size * self._vp * (pb * hp + 4 * srows)
-            budget = 12 << 20
+            budget = int(os.environ.get("PARIS_VMEM_BUDGET", 12 << 20))
             if vmem_est > budget:
                 max_c = max(1, budget // (self._vp * (pb * hp + 4 * srows)))
                 raise ValueError(
@@ -153,8 +154,15 @@ class Reconstructor:
             # split into (hi, lo) bf16 planes, 3 native-bf16 MXU passes
             # (~1e-5 accuracy, matches the old 6-pass HIGHEST to ~5e-7
             # while ~15% faster end-to-end; measured v5e 1024-class)
-            @functools.partial(jax.jit, donate_argnums=(0,))
-            def _step(volume_yxz, chunk, sin_phi, cos_phi, offs):
+            # z0s/vls: optional STATIC copies of offs[2]/offs[3] (python
+            # ints).  When given, the kernel derives a trace-time window
+            # plan for stage 2 (no dynamic scratch addressing — ~7%
+            # faster at the 1024 flagship); jit retraces per block, which
+            # is a handful of compilations for any real run.
+            @functools.partial(jax.jit, donate_argnums=(0,),
+                               static_argnums=(5, 6))
+            def _step(volume_yxz, chunk, sin_phi, cos_phi, offs,
+                      z0s=None, vls=None):
                 filtered = preprocess_chunk(
                     chunk, self._weights, self._spectrum, det.n_row)
                 if accuracy == "fast":
@@ -168,11 +176,13 @@ class Reconstructor:
                         (proj_t.shape[0], proj_t.shape[1], self._vp))
                 if accuracy == "exact":
                     proj_t = bpp.split_bf16_planes(proj_t)
+                static_plan = None if z0s is None or vls is None \
+                    else (z0s, vls)
                 return bpp.backproject_chunk_pallas_yxz(
                     volume_yxz, proj_t, sin_phi, cos_phi, self.grid, offs,
                     interpret=interpret,
                     precision=jax.lax.Precision.DEFAULT,
-                    window_mode=window_mode)
+                    window_mode=window_mode, static_plan=static_plan)
 
             self._step = _step
         elif backend == "xla":
@@ -243,9 +253,10 @@ class Reconstructor:
     ) -> jnp.ndarray:
         """Stream all projections through weight/filter/backproject."""
         rx1, ry1, rz1 = roi_offset
-        offs = jnp.asarray(
-            [rx1, ry1, rz1 + z_offset, self._v_band_lo(rz1 + z_offset)],
-            jnp.int32)
+        z0 = int(rz1 + z_offset)
+        vlo = self._v_band_lo(z0) if self.backend == "pallas" else 0
+        offs = jnp.asarray([rx1, ry1, z0, vlo], jnp.int32)
+        step_extra = (z0, vlo) if self.backend == "pallas" else ()
         for chunk, ang in self._chunks(projections, angles_deg):
             phi = np.deg2rad(ang).astype(np.float32)
             volume = self._step(
@@ -254,6 +265,7 @@ class Reconstructor:
                 jnp.asarray(np.sin(phi)),
                 jnp.asarray(np.cos(phi)),
                 offs,
+                *step_extra,
             )
         return volume
 
