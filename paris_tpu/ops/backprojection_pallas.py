@@ -241,8 +241,20 @@ def _static_window_plan(grid: BpGrid, z0s: int, vls: int, VP: int, KW: int,
         lo = max(0, int(math.floor(v_lo)) - 2)
         hi = min(VP - 1, int(math.ceil(v_hi)) + 3)   # +1 bilinear, +2 slack
         wb = min(lo >> 6, KW - 1)
-        nw = max(1, -(-(hi - 64 * wb + 1) // _LANE))
-        nw = min(nw, (KW - 1 - wb) // 2 + 1)
+        nw = -(-(hi - 64 * wb + 1) // _LANE)
+        if nw > (KW - 1 - wb) // 2 + 1:
+            # Stride-2 windows from an ODD base top out 64 lanes short of
+            # VP (the top window KW-1 is even-indexed), so an odd-base
+            # plan whose interval reaches the detector top cannot cover
+            # it.  Drop to the even base below — even bases always reach
+            # VP — and recompute.  (Clamping nw instead silently gathers
+            # the top z sub-tile from the wrong window.)
+            wb -= wb & 1
+            nw = -(-(hi - 64 * wb + 1) // _LANE)
+        nw = max(1, nw)
+        assert nw <= (KW - 1 - wb) // 2 + 1 and 64 * wb + 128 * nw > hi, (
+            "static window plan cannot cover its v interval",
+            z2, wb, nw, lo, hi, VP, KW)
         plan.append((wb, nw))
     return plan
 
@@ -859,6 +871,13 @@ def backproject_chunk_pallas_yxz(
     the "fast" accuracy mode (~4e-3 per-sample, averages out over a
     scan); the HIGHEST/two-gather combination is the "exact" mode that
     matches the XLA op to ~1e-5.
+
+    INVARIANT: when ``static_plan=(z0s, vls)`` is given, it must equal
+    the *runtime* values ``(offsets[2], offsets[3])`` — the kernel mixes
+    the traced z0g/vlo with the trace-time window plan, so inconsistent
+    values silently gather from the wrong detector-row windows.  The
+    pipeline passes both from the same (z0, vlo) pair; direct callers
+    must do the same (checked when ``offsets`` is a concrete array).
     """
     import os
     if x_tile is None:       # env knobs for kernel experiments
@@ -928,6 +947,14 @@ def backproject_chunk_pallas_yxz(
             and window_mode in ("dynamic", "hoist")
             and os.environ.get("PARIS_BP_STATICWIN", "1") != "0"):
         z0s, vls = static_plan
+        try:                      # concrete (non-traced) offsets only
+            off_np = np.asarray(offsets)
+        except jax.errors.TracerArrayConversionError:
+            off_np = None
+        if off_np is not None:
+            assert (int(off_np[2]), int(off_np[3])) == (int(z0s), int(vls)), (
+                "static_plan must match offsets[2:4] (see docstring)",
+                tuple(off_np[2:4]), static_plan)
         swin = _static_window_plan(
             grid, int(z0s), int(vls), VP, max(1, 2 * (VP // _LANE) - 1),
             z_tile // _LANE)

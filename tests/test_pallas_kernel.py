@@ -194,6 +194,86 @@ def test_pallas_window_modes_banded():
                                rtol=1e-4, atol=5e-4)
 
 
+def _tall_setup():
+    det = DetectorGeometry(
+        n_row=96, n_col=640, l_px_row=2.0, l_px_col=2.0,
+        delta_s=0.0, delta_t=0.0, d_so=500.0, d_od=500.0, delta_phi=2.0,
+    )
+    vol = derive_volume_geometry(det)
+    grid = make_bp_grid(det, vol)
+    rng = np.random.default_rng(23)
+    projs = rng.standard_normal((2, det.n_col, det.n_row)).astype(np.float32)
+    phi = np.deg2rad([15.0, 200.0]).astype(np.float32)
+    return det, vol, grid, projs, phi
+
+
+def test_static_window_plan_covers_interval():
+    """Every static-plan entry must cover its sub-tile's v interval.
+
+    Regression for the odd-base truncation bug: stride-2 windows from an
+    odd base top out 64 lanes short of VP, and the old nw clamp DROPPED
+    windows instead of lowering the base — silently corrupting top-z
+    sub-tiles on the bench geometries (e.g. 1024-class block 1 z2=3).
+    The plan now asserts coverage internally; this sweep drives it over
+    every bench-style geometry x block split.
+    """
+    import math
+    from paris_tpu.geometry import detector_row_band
+    from paris_tpu.ops import backprojection_pallas as bpp
+    for size in (256, 512, 1024, 1536, 2048):
+        det = DetectorGeometry(
+            n_row=size, n_col=size, l_px_row=1.0, l_px_col=1.0,
+            delta_s=0.0, delta_t=0.0, d_so=8.0 * size, d_od=4.0 * size,
+            delta_phi=0.5)
+        vol = derive_volume_geometry(det)
+        grid = make_bp_grid(det, vol)
+        for block_dz in (128, 256, 512):
+            if block_dz > vol.dim_z:
+                continue
+            n_blocks = -(-vol.dim_z // block_dz)
+            vband = max(
+                detector_row_band(det, vol, i * block_dz, block_dz)[1]
+                - detector_row_band(det, vol, i * block_dz, block_dz)[0]
+                for i in range(n_blocks))
+            vp_full = bpp._round_up(det.n_col, 128)
+            VP = min(vp_full, bpp._round_up(vband, 128))
+            KW = max(1, 2 * (VP // 128) - 1)
+            z_tile = min(512, block_dz)
+            for blk in range(n_blocks):
+                z0s = blk * block_dz
+                lo_band, _ = detector_row_band(det, vol, z0s, block_dz)
+                vls = (max(0, min(lo_band, vp_full - VP))
+                       if VP < vp_full else 0)
+                plan = bpp._static_window_plan(
+                    grid, z0s, vls, VP, KW, z_tile // 128)
+                for wb, nw in plan:
+                    assert 0 <= wb <= KW - 1
+                    assert wb + 2 * (nw - 1) <= KW - 1
+
+
+def test_pallas_static_plan_matches_xla_at_top_edge():
+    """static_plan parity where the OLD plan truncated (odd window base,
+    v interval reaching the detector top: n_col=640, z0=536 — real
+    voxels reach v0=580 while the clamped plan covered only [448, 576))."""
+    from paris_tpu.ops import backprojection_pallas as bpp
+    det, vol, grid, projs, phi = _tall_setup()
+    sin, cos = jnp.sin(jnp.asarray(phi)), jnp.cos(jnp.asarray(phi))
+    dz = 16
+    vol0 = jnp.zeros((dz, vol.dim_y, vol.dim_x), jnp.float32)
+    for z0 in (536, vol.dim_z // 2 - dz // 2):
+        ref = np.asarray(backproject_chunk_xla(
+            vol0, jnp.asarray(projs), sin, cos, grid, z_offset=z0))
+        vk = bpp.to_kernel_layout(vol0)
+        pt = bpp.pad_projections_t(jnp.asarray(projs))
+        offs = jnp.asarray([0, 0, z0, 0], jnp.int32)
+        out = bpp.backproject_chunk_pallas_yxz(
+            vk, pt, sin, cos, grid, offs, interpret=True,
+            window_mode="dynamic", static_plan=(z0, 0))
+        out = np.asarray(bpp.from_kernel_layout(out, vol0.shape))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=5e-4,
+                                   err_msg=f"z0={z0}")
+
+
 def test_pallas_fast_mode_accuracy(setup):
     """bf16 packed-table fast mode stays within per-sample bf16 noise."""
     import jax
