@@ -191,12 +191,18 @@ def _run_job(job: ReconstructionJob) -> str:
             # the perf-derived extent must still fit device memory
             block_dz = min(block_dz,
                            _budget_max_dz(hbm_budget, proj_buffer, vol_geo))
-    info = plan_z_blocks(
-        vol_geo,
-        hbm_budget_bytes=hbm_budget,
-        proj_buffer_bytes=proj_buffer,
-        block_dz=block_dz,
-    )
+    try:
+        info = plan_z_blocks(
+            vol_geo,
+            hbm_budget_bytes=hbm_budget,
+            proj_buffer_bytes=proj_buffer,
+            block_dz=block_dz,
+        )
+    except ValueError as e:
+        # planner failures (budget too small for one slice, bad forced
+        # extent) are construction-phase, like the reference's
+        # stage_construction_error (src/exception.h:31-36)
+        raise StageConstructionError(str(e)) from e
     logger.info("z-split: %d block(s) of %d slices (padded)",
                 info.num, info.dim_z_padded)
 
@@ -235,11 +241,14 @@ def _run_job(job: ReconstructionJob) -> str:
             logger.info("clamping chunk size %d -> %d (VMEM budget)",
                         chunk_size, cmax)
             chunk_size = cmax
-    rec = Reconstructor(
-        job.det, full_geo, chunk_size=chunk_size, backend=job.backend,
-        block_shape=(info.dim_z_padded, vol_geo.dim_y, vol_geo.dim_x),
-        v_band_width=v_band, accuracy=job.accuracy,
-    )
+    try:
+        rec = Reconstructor(
+            job.det, full_geo, chunk_size=chunk_size, backend=job.backend,
+            block_shape=(info.dim_z_padded, vol_geo.dim_y, vol_geo.dim_x),
+            v_band_width=v_band, accuracy=job.accuracy,
+        )
+    except ValueError as e:
+        raise StageConstructionError(str(e)) from e
     logger.info("backend: %s, chunk size %d", rec.backend, chunk_size)
 
     def new_source() -> ProjectionSource:
@@ -276,7 +285,10 @@ def _run_job(job: ReconstructionJob) -> str:
                     z_offset=block.z0, roi_offset=(rx1, ry1, rz1))
                 n_proj = len(angs)
             else:
-                collect = cache is not False and info.num > 1
+                # explicit True always collects (dataclass contract);
+                # auto (None) collects only when a later block will
+                # reuse the cache
+                collect = cache is True or (cache is None and info.num > 1)
                 datas, angles = [], []
                 for chunk in new_source().iter_chunks(rec.chunk_size):
                     data = np.stack([p.data for p in chunk])

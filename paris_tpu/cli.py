@@ -68,7 +68,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume: skip blocks recorded complete in the manifest")
     p.add_argument("--distributed", action="store_true",
-                   help="shard the reconstruction over all visible devices")
+                   help="shard the reconstruction over all visible devices "
+                        "(all hosts' devices when multi-host is initialized)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address for multi-host "
+                        "runs (with --distributed; every process passes the "
+                        "same address)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total process count of the multi-host run")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's id in [0, --num-processes)")
     p.add_argument("--verbose", action="store_true", help="debug logging")
     p.add_argument("--version", action="version", version=__version__)
     return p
@@ -87,6 +96,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.geometry_format:
         print(geometry_format_help())
         return 0
+
+    if (args.coordinator or args.num_processes or args.process_id) \
+            and not args.distributed:
+        print("error: --coordinator/--num-processes/--process-id require "
+              "--distributed", file=sys.stderr)
+        return 2
+    if args.distributed:
+        # must run before the first device query so every process joins
+        # the global mesh (reference: per-device fan-out main.cpp:157-169)
+        from .parallel import multihost
+        try:
+            multihost.initialize(args.coordinator, args.num_processes,
+                                 args.process_id)
+        except (RuntimeError, ValueError) as e:
+            print(f"error: multi-host initialization failed: {e}",
+                  file=sys.stderr)
+            return 2
 
     if not args.geometry:
         print("error: --geometry is required", file=sys.stderr)

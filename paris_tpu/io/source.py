@@ -102,25 +102,47 @@ class ProjectionSource:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _END = object()
+        stop = threading.Event()
         err: List[BaseException] = []
+
+        def _put(item) -> bool:
+            # bounded-wait put so an abandoned consumer (exception in
+            # the reconstruct loop, generator closed mid-stream) cannot
+            # leave this thread blocked forever with an open file
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for p in self._iter_frames():
-                    q.put(p)
+                    if not _put(p):
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
-                q.put(_END)
+                _put(_END)
 
         t = threading.Thread(target=worker, daemon=True, name="his-prefetch")
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                yield item
+        finally:
+            stop.set()
+            while True:          # unblock a pending put, then reap
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)
         if err:
             raise err[0]
 

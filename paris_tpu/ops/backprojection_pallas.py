@@ -245,7 +245,7 @@ def _static_window_plan(grid: BpGrid, z0s: int, vls: int, VP: int, KW: int,
         if nw > (KW - 1 - wb) // 2 + 1:
             # Stride-2 windows from an ODD base top out 64 lanes short of
             # VP (the top window KW-1 is even-indexed), so an odd-base
-            # plan whose interval reaches the detector top cannot cover
+            # plan whose interval reaching the detector top cannot cover
             # it.  Drop to the even base below — even bases always reach
             # VP — and recompute.  (Clamping nw instead silently gathers
             # the top z sub-tile from the wrong window.)
@@ -255,7 +255,19 @@ def _static_window_plan(grid: BpGrid, z0s: int, vls: int, VP: int, KW: int,
         assert nw <= (KW - 1 - wb) // 2 + 1 and 64 * wb + 128 * nw > hi, (
             "static window plan cannot cover its v interval",
             z2, wb, nw, lo, hi, VP, KW)
-        plan.append((wb, nw))
+        # MASK ELISION: when the conservative interval sits strictly
+        # inside the detector's valid v0 range [-vls, -vls + n_col - 2]
+        # (band-relative), every SAFE voxel of the sub-tile passes the
+        # border test by construction, and UNSAFE voxels (weight 0)
+        # gather from their all-zero Q rows whatever their index — the
+        # gather is sublane-local, idx is &127-wrapped, and a negative
+        # bucket can only keep the base window, still the zero row.  So
+        # the per-element validity compare+select can be skipped.
+        # floor(v_lo)-2 / ceil(v_hi)+1 give one px of slack beyond the
+        # bilinear corner.
+        skip_mask = (int(math.floor(v_lo)) - 2 >= -vls
+                     and int(math.ceil(v_hi)) + 1 <= -vls + det.n_col - 2)
+        plan.append((wb, nw, skip_mask))
     return plan
 
 
@@ -526,7 +538,7 @@ def _bp_kernel(
         # the rotation-axis z-center where the factor spread is narrow.
         fscales = [per_angle(c)[1] * inv_lpx for c in range(C)]
         for z2 in range(n_z2):
-            wb, nw = swin[z2]
+            wb, nw, skip = swin[z2]
             zb = z2 * _LANE             # single z-step: zt == 0
             zidx = (jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
                     + zb + z0g)
@@ -539,7 +551,6 @@ def _bp_kernel(
                 v0f = jnp.floor(v)
                 fv = v - v0f
                 relv = v0f.astype(jnp.int32)     # window-relative v0
-                valid = (relv - lo_adj).astype(jnp.uint32) <= v_span
                 idx = relv & (_LANE - 1)
                 bucket = relv >> 7
                 if pack:
@@ -559,7 +570,15 @@ def _bp_kernel(
                         a1 = jnp.where(m, jnp.take_along_axis(
                             dq_ref[c, wb + 2 * j], idx, axis=1), a1)
                     q0, d0 = a0, a1
-                total = total + jnp.where(valid, q0 + fv * d0, 0.0)
+                if skip:
+                    # interior sub-tile (plan proved every safe voxel's
+                    # v0 on-detector; unsafe rows gather their zero Q
+                    # row): no border compare+select — ~3 of the ~14
+                    # VPU ops per (angle, element) in this loop
+                    total = total + (q0 + fv * d0)
+                else:
+                    valid = (relv - lo_adj).astype(jnp.uint32) <= v_span
+                    total = total + jnp.where(valid, q0 + fv * d0, 0.0)
             vol_out_ref[0, :, z2 * _LANE:(z2 + 1) * _LANE] = total
         return
 
@@ -942,9 +961,11 @@ def backproject_chunk_pallas_yxz(
     # step (the plan indexes sub-tiles by absolute z) and the dynamic
     # machinery would otherwise be engaged
     swin = None
+    r_corner = (vol.dim_x / 2.0) * vol.l_vx_x * math.sqrt(2.0)
     if (static_plan is not None and nzp == z_tile
             and VP // _LANE > max(span_w, 2)
             and window_mode in ("dynamic", "hoist")
+            and r_corner <= 0.95 * abs(grid.d_so)
             and os.environ.get("PARIS_BP_STATICWIN", "1") != "0"):
         z0s, vls = static_plan
         try:                      # concrete (non-traced) offsets only
@@ -1004,6 +1025,21 @@ def backproject_chunk_pallas_yxz(
                      memory_space=pltpu.VMEM))     # vol in
     args.append(volume_yxz)
 
+    # VMEM ceiling: v5e/v5p cores have 128 MiB (probed; the default
+    # Mosaic scoped limit is lower), so large chunks and full-height
+    # bands are legal — tell the compiler how much this kernel needs.
+    proj_bytes = proj_t.size * proj_t.dtype.itemsize * (2 if x3 else 1)
+    def _nbytes(s):
+        try:
+            return int(np.prod(s.shape)) * jnp.dtype(s.dtype).itemsize
+        except (TypeError, AttributeError):
+            return 0                       # DMA semaphores etc.
+    scratch_bytes = sum(_nbytes(s) for s in scratch)
+    block_bytes = 4 * x_tile * z_tile * 4          # in+out, double-buffered
+    vmem_limit = min(128 * 1024 * 1024,
+                     max(32 * 1024 * 1024,
+                         int((proj_bytes + scratch_bytes + block_bytes)
+                             * 1.25)))
     pgrid = (ny, nxp // x_tile, nzp // z_tile)
     return pl.pallas_call(
         kern,
@@ -1016,6 +1052,7 @@ def backproject_chunk_pallas_yxz(
         scratch_shapes=scratch,
         input_output_aliases={len(args) - 1: 0},
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
     )(*args)
 
 

@@ -133,7 +133,9 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
                         z_offset=block.z0, roi_offset=(rx1, ry1, rz1))
                     n_proj = len(angs)
                 else:
-                    collect = cache is not False and info.num > 1
+                    # explicit True always collects (dataclass contract)
+                    collect = cache is True or (cache is None
+                                                and info.num > 1)
                     datas, angles = [], []
                     src = ProjectionSource(
                         job.input_path, angle_file=job.angle_path,

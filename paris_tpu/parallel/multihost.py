@@ -45,11 +45,25 @@ def initialize(
     """Initialize jax.distributed (no-op when single-process with no env).
 
     With no arguments, relies on the TPU environment's auto-detection
-    (``jax.distributed.initialize()``), which is correct on Cloud TPU
-    pods.  Safe to skip entirely for single-host runs.
+    (``jax.distributed.initialize()``) when the environment looks like a
+    multi-process cluster — correct on Cloud TPU pods — and stays
+    single-process otherwise (a dev box or a single TPU VM must not
+    block on a nonexistent coordinator).  Must run before the first
+    device query (the CLI calls it before any jax computation;
+    reference analog: the per-device fan-out in src/main.cpp:157-169
+    happened before any work was dispatched).
     """
     if num_processes is not None and num_processes <= 1:
         return
+    if (coordinator_address is None and num_processes is None
+            and process_id is None):
+        hints = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                 "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                 "CLOUD_TPU_TASK_ID")
+        if not any(os.environ.get(h) for h in hints):
+            logger.info("no multi-host environment detected; running "
+                        "single-process over local devices")
+            return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -45,10 +45,22 @@ def _auto_backend() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def _vmem_budget() -> int:
+    """Per-kernel VMEM budget for resident projections + scratch.
+
+    v5e/v5p cores have 128 MiB of VMEM (probed on hardware); 96 MiB
+    leaves room for the double-buffered volume blocks and Mosaic's own
+    buffers.  Override with PARIS_VMEM_BUDGET (bytes).
+    """
+    return int(os.environ.get("PARIS_VMEM_BUDGET", 96 << 20))
+
+
 def max_chunk_size(det: DetectorGeometry, v_band_width=None,
-                   budget_bytes: int = 12 << 20,
+                   budget_bytes: Optional[int] = None,
                    accuracy: str = "exact") -> int:
     """Largest pallas chunk fitting the VMEM budget for this detector."""
+    if budget_bytes is None:
+        budget_bytes = _vmem_budget()
     def rup(x, m):
         return -(-x // m) * m
     vp = rup(det.n_col, 128) if v_band_width is None else \
@@ -143,7 +155,7 @@ class Reconstructor:
             srows = _scratch_rows(accuracy)
             pb = _proj_bytes(accuracy)
             vmem_est = self.chunk_size * self._vp * (pb * hp + 4 * srows)
-            budget = int(os.environ.get("PARIS_VMEM_BUDGET", 12 << 20))
+            budget = _vmem_budget()
             if vmem_est > budget:
                 max_c = max(1, budget // (self._vp * (pb * hp + 4 * srows)))
                 raise ValueError(

@@ -234,3 +234,42 @@ def test_auto_hbm_budget_no_stats(monkeypatch):
     monkeypatch.setattr(jax, "local_devices", lambda: [Dev2()])
     budget = app_mod._auto_hbm_budget()
     assert budget == int((15 << 30) * 0.45)
+
+
+def test_planner_error_is_construction_tier(scan, tmp_path):
+    """Planner ValueErrors (bad forced block extent, impossible HBM
+    budget) are construction-phase failures -> StageConstructionError,
+    matching the reference's split (src/exception.h:31-41)."""
+    import pytest
+    from paris_tpu import StageConstructionError
+    from paris_tpu.app import ReconstructionJob, run_job
+
+    job = ReconstructionJob(det=scan["det"], input_path=scan["pdir"],
+                            output_path=str(tmp_path), backend="xla",
+                            block_dz=0)
+    with pytest.raises(StageConstructionError):
+        run_job(job)
+    job2 = ReconstructionJob(det=scan["det"], input_path=scan["pdir"],
+                             output_path=str(tmp_path), backend="xla",
+                             hbm_budget_bytes=1)
+    with pytest.raises(StageConstructionError):
+        run_job(job2)
+
+
+def test_cache_projections_true_honored_single_block(scan, tmp_path,
+                                                     monkeypatch):
+    """cache_projections=True collects even for a single-block run."""
+    import paris_tpu.app as app_mod
+    seen = {}
+    orig_concat = app_mod.np.concatenate
+
+    def spy_concat(arrs, *a, **k):
+        seen["called"] = True
+        return orig_concat(arrs, *a, **k)
+
+    monkeypatch.setattr(app_mod.np, "concatenate", spy_concat)
+    job = app_mod.ReconstructionJob(
+        det=scan["det"], input_path=scan["pdir"],
+        output_path=str(tmp_path), backend="xla", cache_projections=True)
+    app_mod.run_job(job)
+    assert seen.get("called"), "explicit cache_projections=True ignored"

@@ -329,3 +329,27 @@ def test_his_fuzz_mixed_headers_and_dtypes(tmp_path):
         got.extend(p.data for p in chunk)
     assert len(got) == len(flat)
     np.testing.assert_array_equal(np.stack(got), flat)
+
+
+def test_source_abandoned_iteration_reaps_prefetch_thread(tmp_path):
+    """A consumer that abandons iteration mid-stream (exception in the
+    reconstruct loop) must not leave the prefetch worker blocked on a
+    full queue holding an open file."""
+    import threading
+    import time
+
+    d, _ = _write_scan(tmp_path, n_files=3, frames_per_file=4)
+    src = ProjectionSource(d, delta_phi=1.0, prefetch=1)
+    it = iter(src)
+    next(it)                    # worker is now parked on a full queue
+    it.close()                  # abandon (same path as a raised exception)
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        if not any(t.name == "his-prefetch" and t.is_alive()
+                   for t in threading.enumerate()):
+            break
+        time.sleep(0.02)
+    assert not any(t.name == "his-prefetch" and t.is_alive()
+                   for t in threading.enumerate()), "prefetch thread leaked"
+    # the source is reusable after abandonment
+    assert len(list(src)) == 12

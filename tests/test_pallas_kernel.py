@@ -246,7 +246,7 @@ def test_static_window_plan_covers_interval():
                        if VP < vp_full else 0)
                 plan = bpp._static_window_plan(
                     grid, z0s, vls, VP, KW, z_tile // 128)
-                for wb, nw in plan:
+                for wb, nw, _skip in plan:
                     assert 0 <= wb <= KW - 1
                     assert wb + 2 * (nw - 1) <= KW - 1
 
