@@ -9,13 +9,14 @@ ceiling for a chunked backprojection (HBM_BW / (8 bytes / chunk_size) —
 see BASELINE.md), i.e. >1.0 means past the naive per-projection
 streaming bound.
 
-Defaults measure the flagship BASELINE config: 1024-class volume,
-dz=512 banded z-blocks (VMEM clamps the chunk to 4), accuracy "fast"
-(bf16 interpolation tables — the CUDA texture unit's precision class —
-which passes the 1e-3 RMSE gate; see BASELINE.md for the exact/fast
-table).
+Defaults measure the flagship BASELINE config: 1024-class volume in
+ONE whole z-block (v5e's 128MiB VMEM holds the full-height projection
+chunk; measured round 3: single block C=24 72.2 Gupd/s vs the round-2
+dz=512 banded split's 56.7), accuracy "fast" (bf16 interpolation
+tables — the CUDA texture unit's precision class — which passes the
+1e-3 RMSE gate; see BASELINE.md for the exact/fast table).
 
-Env knobs: PARIS_BENCH_SIZE (default 1024), PARIS_BENCH_CHUNK (8),
+Env knobs: PARIS_BENCH_SIZE (default 1024), PARIS_BENCH_CHUNK (24),
 PARIS_BENCH_BACKEND (pallas|xla), PARIS_BENCH_ACCURACY (fast|exact),
 PARIS_BENCH_BLOCK_DZ (0=auto, -1=single full block, N=forced).
 """
@@ -30,7 +31,7 @@ import numpy as np
 
 def main():
     size = int(os.environ.get("PARIS_BENCH_SIZE", "1024"))
-    C = int(os.environ.get("PARIS_BENCH_CHUNK", "8"))
+    C = int(os.environ.get("PARIS_BENCH_CHUNK", "24"))
     backend = os.environ.get("PARIS_BENCH_BACKEND", "auto")
     accuracy = os.environ.get("PARIS_BENCH_ACCURACY", "fast")
 
@@ -55,9 +56,11 @@ def main():
     v_band = None
     block_dz = int(os.environ.get("PARIS_BENCH_BLOCK_DZ", "0"))
     if block_dz == 0 and size >= 1024:
-        # v5e A/B (z_tile=512 kernel): dz 128/256/512/full ->
-        # 36.8/39.4/45.6/29 Gupd/s (dz=512 clamps chunk to 4; still wins)
-        block_dz = 512
+        # v5e A/B round 3 (single-z-step kernel, 96MiB VMEM budget,
+        # C=24 fast): dz 512/1024 -> 58.2/72.2 Gupd/s; one whole
+        # 1024-slice block with the full-height projection band wins
+        # (the app driver reaches the same shape via _perf_block_dz)
+        block_dz = 1024
     if block_dz < 0:
         # full-volume single block: no banding, VMEM-clamped chunk
         C = min(C, max_chunk_size(det, accuracy=accuracy))

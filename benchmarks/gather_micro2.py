@@ -106,7 +106,7 @@ def run(mode: str):
 def main():
     out = {}
     for mode in ["empty", "static_read", "dyn_read", "static_take",
-                 "dyn_take", "dyn_take2"]:
+                 "dyn_take", "dyn_take2", "chain_take2", "chain_only"]:
         try:
             out[f"{mode}_ns"] = round(run(mode), 3)
         except Exception as e:  # noqa: BLE001

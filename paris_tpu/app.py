@@ -71,18 +71,23 @@ class ReconstructionJob:
 
 
 def _perf_block_dz(job: ReconstructionJob, vol_geo: VolumeGeometry,
-                   full_geo: VolumeGeometry) -> Optional[int]:
+                   full_geo: VolumeGeometry,
+                   hbm_budget: Optional[int] = None,
+                   proj_buffer: int = 0) -> Optional[int]:
     """Kernel-throughput-aware z-block extent (pallas on TPU only).
 
     Total backprojection work is split-invariant, so the block extent is
-    a pure efficiency knob: tall blocks need the full detector height in
-    VMEM, which clamps the chunk size (volume-HBM amortization); short
-    blocks starve the stage-1 Q-scratch reuse (z-tiles per column).
-    Measured on v5e at 1024-class (multi-sub-tile kernel, z_tile=512):
-    dz=512 banded (C=4) 45.6 Gupd/s vs dz=256 (C=8) 39.4 vs dz=128
-    (C=8) 36.8 — deep blocks amortize the stage-1 Q scratch over 4
-    z-sub-tiles per column and the wider detector-row band still leaves
-    chunk >= 4 for volume-HBM amortization.
+    a pure efficiency knob.  Measured on v5e at 1024-class (single
+    z-grid-step kernel, static window plan, fast):
+
+        whole volume (C=24)  72.2 Gupd/s
+        dz=512 banded (C=24) 58.2   dz=256 39.4   dz=128 36.8
+
+    — stage-1 Q-scratch fills amortize over the whole z column, so the
+    LARGEST extent that (a) fits the per-device HBM budget and (b)
+    keeps a chunk of >= 8 projections in VMEM wins.  Returns None for
+    "no forced extent" (the planner then keeps one whole-volume block,
+    or splits by the HBM budget).
     """
     import jax as _jax
     if job.backend not in ("pallas", "auto") or \
@@ -91,15 +96,26 @@ def _perf_block_dz(job: ReconstructionJob, vol_geo: VolumeGeometry,
     from .geometry import detector_row_band
     from .pipeline import max_chunk_size
     rz1 = job.roi.z1 if job.roi else 0
-    for dz, min_chunk in ((512, 4), (256, 8), (128, 8)):
+
+    def band_for(dz):
         n_blocks = -(-vol_geo.dim_z // dz)
         band = max(
             (lambda lo_hi: lo_hi[1] - lo_hi[0])(
                 detector_row_band(job.det, full_geo, i * dz + rz1, dz))
             for i in range(n_blocks))
-        if band < job.det.n_col and \
-                max_chunk_size(job.det, band,
-                               accuracy=job.accuracy) >= min_chunk:
+        return band if band < job.det.n_col else None
+
+    # whole volume in one block, if HBM allows it
+    if hbm_budget is None or (hbm_budget - proj_buffer
+                              >= 4 * vol_geo.dim_x * vol_geo.dim_y
+                              * (vol_geo.dim_z + 8)):
+        if max_chunk_size(job.det, None, accuracy=job.accuracy) >= 8:
+            return None
+    for dz in (1024, 512, 256, 128):
+        if dz >= vol_geo.dim_z:
+            continue
+        if max_chunk_size(job.det, band_for(dz),
+                          accuracy=job.accuracy) >= (8 if dz != 512 else 4):
             return dz
     return None
 
@@ -186,7 +202,8 @@ def _run_job(job: ReconstructionJob) -> str:
                         hbm_budget / 2**30)
     block_dz = job.block_dz
     if block_dz is None:
-        block_dz = _perf_block_dz(job, vol_geo, full_geo)
+        block_dz = _perf_block_dz(job, vol_geo, full_geo,
+                                  hbm_budget, proj_buffer)
         if block_dz is not None and hbm_budget is not None:
             # the perf-derived extent must still fit device memory
             block_dz = min(block_dz,

@@ -925,9 +925,12 @@ def backproject_chunk_pallas_yxz(
         assert proj_t.shape == proj_lo.shape
     C, HP, VP = proj_t.shape
     if z_tile is None:
-        # v5e A/B (Gupd/s, fast): 512-class 43.4/46.6/50.2 and 1024-class
-        # dz512 45.6 at z_tile 128/256/512 — deep steps win everywhere.
-        z_tile = int(os.environ.get("PARIS_BP_ZTILE", "512"))
+        # v5e A/B (Gupd/s, fast): 512-class 43.4/46.6/50.2 at z_tile
+        # 128/256/512 and 1024-class dz1024 67.7 (z_tile 512) vs 69.7
+        # (z_tile 1024 = whole block, C=16) — ONE z grid step is best:
+        # deepest fixed-cost amortization AND the static trace-time
+        # window plan engages (it needs nzp == z_tile).
+        z_tile = int(os.environ.get("PARIS_BP_ZTILE", "0")) or nzp
     while nzp % z_tile:      # shallow blocks fall back to lane-width steps
         z_tile //= 2
     assert nxp % _LANE == 0 and nzp % _LANE == 0, (nxp, nzp)
