@@ -17,7 +17,7 @@ The projection count defaults to 360 (the 3600-projection scan at
 --quality 10); pass PARIS_BENCH_CFG5_NPROJ=3600 for the full scan.
 Writes benchmarks/results_round2.json (merging into any existing list).
 
-Run:  python benchmarks/full_scale_2048.py [--out benchmarks/results_round2.json]
+Run:  python benchmarks/full_scale_2048.py [--out benchmarks/results_round3.json]
 """
 
 from __future__ import annotations
@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "results_round2.json"))
+        os.path.dirname(os.path.abspath(__file__)), "results_round3.json"))
     ap.add_argument("--accuracy", default="fast",
                     choices=["fast", "exact"])
     ap.add_argument("--workdir", default=None,
@@ -94,7 +94,7 @@ def main():
     budget = _auto_hbm_budget()
     res["auto_hbm_budget_gb"] = round(budget / 2**30, 2) if budget else None
     proj_buffer = 4 * 4 * det.n_row * det.n_col * job.chunk_size
-    block_dz = _perf_block_dz(job, vol, vol)
+    block_dz = _perf_block_dz(job, vol, vol, budget, proj_buffer)
     if block_dz is not None and budget is not None:
         block_dz = min(block_dz, _budget_max_dz(budget, proj_buffer, vol))
     info = plan_z_blocks(vol, hbm_budget_bytes=budget,

@@ -332,20 +332,11 @@ def _bp_kernel(
     else:
         proj_ref, vol_in_ref, vol_out_ref, *scratch = refs
         proj_lo_ref = None
-    pf_q = pf_d = pf_sem = None
-    has_pf = (window_mode == "prefetch"
-              and VP // _LANE > max(span_w, 2))   # mirrors wrapper scratch
     if pack:
-        if has_pf:
-            q_ref, pf_q, pf_sem = scratch
-        else:
-            q_ref, = scratch
+        q_ref, = scratch
         dq_ref = None
     else:
-        if has_pf:
-            q_ref, dq_ref, pf_q, pf_d, pf_sem = scratch
-        else:
-            q_ref, dq_ref = scratch
+        q_ref, dq_ref = scratch
     det, vol = grid.det, grid.vol
     y = pl.program_id(0)
     xt = pl.program_id(1)
@@ -520,14 +511,6 @@ def _bp_kernel(
         return
 
     fints = [tile_factor_interval(c) for c in range(C)]
-
-    # ---- "prefetch" mode: DMA-pipelined dynamic windows -----------------
-    # The dynamic-window fetch is a VMEM copy whose cost scales with the
-    # bytes moved (measured: ~30ns per (angle, sub-tile) pair at the 1024
-    # flagship — 3.7 ps/update, the single largest stage-2 term after the
-    # takes).  Issuing it as an async DMA DEPTH iterations ahead overlaps
-    # the copy with the previous iterations' gather+interp VPU work; the
-    # takes then read a statically-indexed rotating buffer.
     n_z2 = z_tile // _LANE
     if swin is not None and debug_variant == 0:
         # ---- STATIC window plan (single z-step grids + static block
@@ -579,149 +562,6 @@ def _bp_kernel(
                 else:
                     valid = (relv - lo_adj).astype(jnp.uint32) <= v_span
                     total = total + jnp.where(valid, q0 + fv * d0, 0.0)
-            vol_out_ref[0, :, z2 * _LANE:(z2 + 1) * _LANE] = total
-        return
-
-    if window_mode == "hoist" and K > max(span_w, 2) and debug_variant == 0:
-        # like "dynamic", but ALL (angle, sub-tile) window bases are
-        # computed up front so the scalar unit runs ahead of the vector
-        # loads that consume them
-        k_hi = KW - 1 - 2 * (span_w - 1)
-
-        def k0_for(z2, c):
-            zb = zt * z_tile + z2 * _LANE
-            z_lo = (zb + z0g).astype(jnp.float32) * l_vx_z + off_z
-            z_hi = z_lo + (_LANE - 1) * l_vx_z
-            f_lo, f_hi = fints[c]
-            v_mm_lo = jnp.minimum(
-                jnp.minimum(z_lo * f_lo, z_lo * f_hi),
-                jnp.minimum(z_hi * f_lo, z_hi * f_hi))
-            rel_lo = (v_mm_lo - grid.v_min) / det.l_px_col - 0.5
-            kr = (jnp.floor(rel_lo).astype(jnp.int32) - vlo - 1) >> 6
-            return jnp.clip(kr, 0, k_hi)
-
-        k0s = [[k0_for(z2, c) for c in range(C)] for z2 in range(n_z2)]
-        fscales = [per_angle(c)[1] * inv_lpx for c in range(C)]
-        for z2 in range(n_z2):
-            zb = zt * z_tile + z2 * _LANE
-            zidx = (jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
-                    + zb + z0g)
-            zs = zidx.astype(jnp.float32) * l_vx_z + off_z
-            total = vol_in_ref[0, :, z2 * _LANE:(z2 + 1) * _LANE]
-            for c in range(C):
-                k0 = k0s[z2][c]
-                v = zs * fscales[c] + vb
-                v0f = jnp.floor(v)
-                fv = v - v0f
-                v0 = v0f.astype(jnp.int32)
-                valid = (v0 - lo_b).astype(jnp.uint32) <= v_span
-                relv = v0 - k0 * 64
-                idx = relv & (_LANE - 1)
-                bucket = relv >> 7
-
-                def take(ref_ck, i):
-                    return jnp.take_along_axis(ref_ck, i, axis=1)
-
-                if pack:
-                    a = take(q_ref[c, k0], idx)
-                    for j in range(1, span_w):
-                        a = jnp.where(bucket == j,
-                                      take(q_ref[c, k0 + 2 * j], idx), a)
-                    q0, q1 = _unpack_bf16_pair(a)
-                    d0 = q1 - q0
-                else:
-                    a0 = take(q_ref[c, k0], idx)
-                    a1 = take(dq_ref[c, k0], idx)
-                    for j in range(1, span_w):
-                        m = bucket == j
-                        a0 = jnp.where(m, take(q_ref[c, k0 + 2 * j], idx),
-                                       a0)
-                        a1 = jnp.where(m, take(dq_ref[c, k0 + 2 * j], idx),
-                                       a1)
-                    q0, d0 = a0, a1
-                total = total + jnp.where(valid, q0 + fv * d0, 0.0)
-            vol_out_ref[0, :, z2 * _LANE:(z2 + 1) * _LANE] = total
-        return
-
-    if window_mode == "prefetch" and K > max(span_w, 2) \
-            and debug_variant == 0:
-        NW = 2 * (span_w - 1) + 1
-        NBUF = 3
-        DEPTH = 2
-        n_it = n_z2 * C
-        k_hi = KW - NW
-
-        def k0_for(i):
-            z2, c = divmod(i, C)
-            zb = zt * z_tile + z2 * _LANE
-            z_lo = (zb + z0g).astype(jnp.float32) * l_vx_z + off_z
-            z_hi = z_lo + (_LANE - 1) * l_vx_z
-            f_lo, f_hi = fints[c]
-            v_mm_lo = jnp.minimum(
-                jnp.minimum(z_lo * f_lo, z_lo * f_hi),
-                jnp.minimum(z_hi * f_lo, z_hi * f_hi))
-            rel_lo = (v_mm_lo - grid.v_min) / det.l_px_col - 0.5
-            kr = (jnp.floor(rel_lo).astype(jnp.int32) - vlo - 1) >> 6
-            return jnp.clip(kr, 0, k_hi)
-
-        k0s = [k0_for(i) for i in range(n_it)]
-
-        def _dmas(i):
-            c, slot = i % C, i % NBUF
-            out = [pltpu.make_async_copy(
-                q_ref.at[c, pl.ds(k0s[i], NW)], pf_q.at[slot],
-                pf_sem.at[slot, 0])]
-            if not pack:
-                out.append(pltpu.make_async_copy(
-                    dq_ref.at[c, pl.ds(k0s[i], NW)], pf_d.at[slot],
-                    pf_sem.at[slot, 1]))
-            return out
-
-        for i in range(min(DEPTH, n_it)):
-            for d in _dmas(i):
-                d.start()
-        for z2 in range(n_z2):
-            zb = zt * z_tile + z2 * _LANE
-            zidx = (jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
-                    + zb + z0g)
-            zs = zidx.astype(jnp.float32) * l_vx_z + off_z
-            total = vol_in_ref[0, :, z2 * _LANE:(z2 + 1) * _LANE]
-            for c in range(C):
-                i = z2 * C + c
-                for d in _dmas(i):
-                    d.wait()
-                slot = i % NBUF
-                _, factor, _ = per_angle(c)
-                v = zs * (factor * inv_lpx) + vb
-                v0f = jnp.floor(v)
-                fv = v - v0f
-                v0 = v0f.astype(jnp.int32)
-                valid = (v0 - lo_b).astype(jnp.uint32) <= v_span
-                relv = v0 - k0s[i] * 64
-                idx = relv & (_LANE - 1)
-                bucket = relv >> 7
-                if pack:
-                    a = jnp.take_along_axis(pf_q[slot, 0], idx, axis=1)
-                    for j in range(1, span_w):
-                        g = jnp.take_along_axis(pf_q[slot, 2 * j], idx,
-                                                axis=1)
-                        a = jnp.where(bucket == j, g, a)
-                    q0, q1 = _unpack_bf16_pair(a)
-                    d0 = q1 - q0
-                else:
-                    a0 = jnp.take_along_axis(pf_q[slot, 0], idx, axis=1)
-                    a1 = jnp.take_along_axis(pf_d[slot, 0], idx, axis=1)
-                    for j in range(1, span_w):
-                        m = bucket == j
-                        a0 = jnp.where(m, jnp.take_along_axis(
-                            pf_q[slot, 2 * j], idx, axis=1), a0)
-                        a1 = jnp.where(m, jnp.take_along_axis(
-                            pf_d[slot, 2 * j], idx, axis=1), a1)
-                    q0, d0 = a0, a1
-                if i + DEPTH < n_it:
-                    for d in _dmas(i + DEPTH):
-                        d.start()
-                total = total + jnp.where(valid, q0 + fv * d0, 0.0)
             vol_out_ref[0, :, z2 * _LANE:(z2 + 1) * _LANE] = total
         return
 
@@ -826,31 +666,7 @@ def _bp_kernel(
                 k0 = jnp.clip(k_lo_raw, 0, KW - 1 - 2 * (span_w - 1))
                 relv = v0 - k0 * 64
                 idx = relv & (_LANE - 1)
-                if window_mode == "dynamic1":
-                    # ONE contiguous dynamic slice covering all span_w
-                    # windows (includes the unused odd middles): the
-                    # dynamic-address cost is paid once, the takes then
-                    # index the fetched value statically.
-                    nw = 2 * (span_w - 1) + 1
-                    if pack:
-                        win = q_ref[c, pl.ds(k0, nw)]
-                        a = take(win[0], idx)
-                        for j in range(1, span_w):
-                            a = jnp.where(relv >> 7 == j,
-                                          take(win[2 * j], idx), a)
-                        res = a
-                    else:
-                        winq = q_ref[c, pl.ds(k0, nw)]
-                        wind = dq_ref[c, pl.ds(k0, nw)]
-                        a0 = take(winq[0], idx)
-                        a1 = take(wind[0], idx)
-                        for j in range(1, span_w):
-                            m = relv >> 7 == j
-                            a0 = jnp.where(m, take(winq[2 * j], idx), a0)
-                            a1 = jnp.where(m, take(wind[2 * j], idx), a1)
-                        res = (a0, a1)
-                else:
-                    res = gather_merge(k0, span_w, relv, idx, 2)
+                res = gather_merge(k0, span_w, relv, idx, 2)
 
             if pack:
                 q0, q1 = _unpack_bf16_pair(res)
@@ -873,7 +689,7 @@ def backproject_chunk_pallas_yxz(
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     pack_qdq: Optional[bool] = None,
     x_tile: Optional[int] = None,
-    window_mode: Optional[str] = None,   # "branch" | "dynamic" | "direct"
+    window_mode: Optional[str] = None,   # "dynamic" (default) | "direct"
     z_tile: Optional[int] = None,
     static_plan: Optional[Tuple[int, int]] = None,   # (z0, v_band_lo) ints
 ) -> jnp.ndarray:
@@ -909,8 +725,11 @@ def backproject_chunk_pallas_yxz(
         # 47 straight-line: scalar branches per (angle, sub-tile) cost
         # more than the gathers they save).
         window_mode = os.environ.get("PARIS_BP_WINDOWS", "dynamic")
-    if window_mode not in ("direct", "dynamic", "dynamic1", "prefetch",
-                           "hoist"):
+    if window_mode not in ("direct", "dynamic"):
+        # round-3 cleanup: the experimental "hoist"/"prefetch"/"dynamic1"
+        # modes were deleted — the trace-time static window plan (always
+        # engaged now that the z grid is a single step) supersedes the
+        # dynamic machinery they varied, and none ever recorded a win.
         raise ValueError(f"unknown window_mode {window_mode!r}")
     offsets = jnp.asarray(offsets, jnp.int32)
     if offsets.shape[0] == 3:
@@ -967,7 +786,7 @@ def backproject_chunk_pallas_yxz(
     r_corner = (vol.dim_x / 2.0) * vol.l_vx_x * math.sqrt(2.0)
     if (static_plan is not None and nzp == z_tile
             and VP // _LANE > max(span_w, 2)
-            and window_mode in ("dynamic", "hoist")
+            and window_mode == "dynamic"
             and r_corner <= 0.95 * abs(grid.d_so)
             and os.environ.get("PARIS_BP_STATICWIN", "1") != "0"):
         z0s, vls = static_plan
@@ -1000,16 +819,6 @@ def backproject_chunk_pallas_yxz(
     else:
         scratch = [pltpu.VMEM((C, KW, x_tile, _LANE), jnp.float32),
                    pltpu.VMEM((C, KW, x_tile, _LANE), jnp.float32)]
-    if window_mode == "prefetch" and VP // _LANE > max(span_w, 2):
-        # rotating DMA-prefetch buffers (3 slots, span windows each)
-        nw = 2 * (span_w - 1) + 1
-        if pack_qdq:
-            scratch += [pltpu.VMEM((3, nw, x_tile, _LANE), jnp.int32),
-                        pltpu.SemaphoreType.DMA((3, 1))]
-        else:
-            scratch += [pltpu.VMEM((3, nw, x_tile, _LANE), jnp.float32),
-                        pltpu.VMEM((3, nw, x_tile, _LANE), jnp.float32),
-                        pltpu.SemaphoreType.DMA((3, 2))]
 
     proj_spec = pl.BlockSpec((C, HP, VP), lambda y, xt, zt: (0, 0, 0),
                              memory_space=pltpu.VMEM)

@@ -110,7 +110,8 @@ class DistributedReconstructor:
             self._state_shape = (dz, vol.dim_y, vol.dim_x)
             self._vp = 0
 
-            def shard_step(volume, chunk, sin_phi, cos_phi, offs):
+            def shard_step(volume, chunk, sin_phi, cos_phi, offs,
+                           static_plan=None):   # unused on the XLA path
                 # volume: (local_dz, ny, nx); chunk: (C/n, n_col, n_row)
                 filtered = filter_projections(
                     chunk * self._weights, self._spectrum, det.n_row)
@@ -137,7 +138,8 @@ class DistributedReconstructor:
             self._vp = vp_full if v_band_width is None else \
                 min(vp_full, _round_up(v_band_width, 128))
 
-            def shard_step(volume, chunk, sin_phi, cos_phi, offs):
+            def shard_step(volume, chunk, sin_phi, cos_phi, offs,
+                           static_plan=None):
                 # volume: (local_ny, nxp, nzp); fast mode gathers bf16 —
                 # half the ICI broadcast bytes and half the VMEM band
                 filtered = filter_projections(
@@ -163,23 +165,29 @@ class DistributedReconstructor:
                     # split AFTER the gather (local elementwise): the
                     # bf16x3 exact path, see ops/backprojection_pallas
                     proj_t = bpp.split_bf16_planes(proj_t)
+                # static_plan is z-only, so one plan serves every y shard
                 return bpp.backproject_chunk_pallas_yxz(
                     volume, proj_t, sins, coss, self.grid, shard_offs,
                     interpret=interpret,
                     precision=jax.lax.Precision.DEFAULT,
-                    window_mode=window_mode)
+                    window_mode=window_mode, static_plan=static_plan)
         else:
             raise ValueError(f"unknown backend {backend!r}")
 
-        mapped = jax.shard_map(
-            shard_step,
-            mesh=self.mesh,
-            in_specs=(vol_spec, proj_spec, ang_spec, ang_spec, P()),
-            out_specs=vol_spec,
-            # pallas_call out_shapes carry no varying-mesh-axes info
-            check_vma=False,
-        )
-        self._step = jax.jit(mapped, donate_argnums=(0,))
+        @functools.lru_cache(maxsize=32)     # one entry per z-block
+        def step_for(static_plan):
+            mapped = jax.shard_map(
+                functools.partial(shard_step, static_plan=static_plan),
+                mesh=self.mesh,
+                in_specs=(vol_spec, proj_spec, ang_spec, ang_spec, P()),
+                out_specs=vol_spec,
+                # pallas_call out_shapes carry no varying-mesh-axes info
+                check_vma=False,
+            )
+            return jax.jit(mapped, donate_argnums=(0,))
+
+        self._step_for = step_for
+        self._step = step_for(None)
         self._vol_sharding = NamedSharding(self.mesh, vol_spec)
         self._proj_sharding = NamedSharding(self.mesh, proj_spec)
         self._ang_sharding = NamedSharding(self.mesh, ang_spec)
@@ -228,9 +236,11 @@ class DistributedReconstructor:
         C = self.chunk_size
         n = len(angles_deg)
         rx1, ry1, rz1 = roi_offset
-        offs = jnp.asarray(
-            [rx1, ry1, rz1 + z_offset, self._v_band_lo(rz1 + z_offset)],
-            jnp.int32)
+        z0 = int(rz1 + z_offset)
+        vlo = self._v_band_lo(z0)
+        offs = jnp.asarray([rx1, ry1, z0, vlo], jnp.int32)
+        step = (self._step_for((z0, vlo)) if self.backend == "pallas"
+                else self._step)
         for i in range(0, n, C):
             chunk = np.asarray(projections[i:i + C], dtype=np.float32)
             ang = np.asarray(angles_deg[i:i + C], dtype=np.float32)
@@ -239,7 +249,7 @@ class DistributedReconstructor:
                 chunk = np.pad(chunk, ((0, pad), (0, 0), (0, 0)))
                 ang = np.pad(ang, (0, pad))
             phi = np.deg2rad(ang).astype(np.float32)
-            volume = self._step(
+            volume = step(
                 volume,
                 self._put(chunk, self._proj_sharding),
                 self._put(np.sin(phi), self._ang_sharding),

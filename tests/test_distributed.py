@@ -226,3 +226,42 @@ def test_run_job_distributed_caches_projections(setup, tmp_path, monkeypatch):
     assert calls["n"] == 2, f"HIS files read {calls['n']} times, expected 2"
     vol = derive_volume_geometry(det)
     assert ddbvf.open_meta(out) == (vol.dim_x, vol.dim_y, vol.dim_z)
+
+
+def test_distributed_roi_matches_single_device_roi(setup):
+    """ROI job through DistributedReconstructor == single-device ROI path.
+
+    Exercises the per-shard y offset composition with a nonzero ROI
+    (offs[1] + my_y0, dist.py; reference ROI kernel path:
+    src/cuda/backprojection.cu:86-90,124-126) on both backends.
+    """
+    from paris_tpu.geometry import RegionOfInterest, apply_roi
+
+    det, vol, projs, angles = setup
+    roi = RegionOfInterest(x1=6, x2=53, y1=10, y2=49, z1=4, z2=51)
+    roi_geo = apply_roi(vol, roi)
+    mesh = make_z_mesh()
+    n = mesh.devices.size
+
+    ref = reconstruct(
+        det, roi_geo, projs[:8], angles[:8], chunk_size=8, backend="xla",
+        roi_offset=(roi.x1, roi.y1, roi.z1))
+
+    # XLA backend: z-sharded (block_dz must divide by mesh)
+    block_dz = -(-roi_geo.dim_z // n) * n
+    dist = DistributedReconstructor(
+        det, roi_geo, mesh=mesh, chunk_size=8, block_dz=block_dz,
+        backend="xla")
+    out = dist.finalize(dist.accumulate(
+        dist.init_block(), projs[:8], angles[:8],
+        roi_offset=(roi.x1, roi.y1, roi.z1)))[: roi_geo.dim_z]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    # Pallas backend: y-sharded kernel layout, nonzero ry1 per shard
+    distp = DistributedReconstructor(
+        det, roi_geo, mesh=mesh, chunk_size=8, block_dz=roi_geo.dim_z,
+        backend="pallas", interpret=True)
+    outp = distp.finalize(distp.accumulate(
+        distp.init_block(), projs[:8], angles[:8],
+        roi_offset=(roi.x1, roi.y1, roi.z1)))[: roi_geo.dim_z]
+    np.testing.assert_allclose(outp, ref, rtol=1e-4, atol=1e-4)
