@@ -69,16 +69,28 @@ def main():
     os.makedirs(pdir, exist_ok=True)
     t0 = time.perf_counter()
     all_projs = np.empty((n_proj, det.n_col, det.n_row), np.float32)  # ~6 GB
-    # stream phantom generation -> HIS in batches (each f32 frame is 16 MB)
-    for i in range(0, n_proj, 8):
-        chunk_angles = angles[i:i + 8]
-        projs = cone_beam_project(det, chunk_angles, scale_mm=scale)
-        all_projs[i:i + len(chunk_angles)] = projs
-        write_his(os.path.join(pdir, f"b{i:05d}.his"), projs,
-                  number_dtype=np.float32)
-    res["synthesize_seconds"] = round(time.perf_counter() - t0, 1)
-    print(f"synthesized {n_proj} projections in {res['synthesize_seconds']}s",
-          flush=True)
+    if len(os.listdir(pdir)) == -(-n_proj // 8):
+        # pinned workdir with a previous run's synthesis: re-read it
+        from paris_tpu.io.his import read_his
+        pos = 0
+        for f in sorted(os.listdir(pdir)):
+            frames = read_his(os.path.join(pdir, f))
+            all_projs[pos:pos + len(frames)] = frames
+            pos += len(frames)
+        assert pos == n_proj, (pos, n_proj)
+        res["synthesize_seconds"] = 0.0
+        print(f"reusing {n_proj} synthesized projections", flush=True)
+    else:
+        # stream phantom generation -> HIS in batches (f32 frames, 16 MB)
+        for i in range(0, n_proj, 8):
+            chunk_angles = angles[i:i + 8]
+            projs = cone_beam_project(det, chunk_angles, scale_mm=scale)
+            all_projs[i:i + len(chunk_angles)] = projs
+            write_his(os.path.join(pdir, f"b{i:05d}.his"), projs,
+                      number_dtype=np.float32)
+        res["synthesize_seconds"] = round(time.perf_counter() - t0, 1)
+        print(f"synthesized {n_proj} projections in "
+              f"{res['synthesize_seconds']}s", flush=True)
 
     job = ReconstructionJob(
         det=det, input_path=pdir, output_path=workdir, prefix="c5",

@@ -131,18 +131,30 @@ def _auto_hbm_budget() -> Optional[int]:
     because the block is materialized twice at finalize (kernel-layout
     accumulator + transposed output copy) plus XLA temps; projection
     residency is subtracted separately by ``plan_z_blocks``.
-    Returns None (single whole-volume block) when the platform reports
-    no memory stats (e.g. CPU).
+    When the runtime reports no memory stats (some TPU transports, e.g.
+    tunneled devices, return an empty dict) the HBM size falls back to a
+    device-kind table — a 2048-class volume must still be split rather
+    than planned as one un-allocatable 32 GB block.  Returns None
+    (single whole-volume block) only on platforms with neither stats
+    nor a known HBM size (e.g. CPU).
     """
     import jax as _jax
     try:
-        stats = _jax.local_devices()[0].memory_stats() or {}
+        dev = _jax.local_devices()[0]
+        stats = dev.memory_stats() or {}
     except Exception:                     # backends without stats support
         return None
     limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
-    if not limit:
-        return None
-    free = int(limit) - int(stats.get("bytes_in_use", 0))
+    if limit:
+        free = int(limit) - int(stats.get("bytes_in_use", 0))
+    else:
+        kind = (getattr(dev, "device_kind", "") or "").lower()
+        hbm_gib = {"v5 lite": 16, "v5e": 16, "v4": 32, "v5p": 95,
+                   "v6 lite": 32, "v6e": 32, "v3": 16, "v2": 8}
+        free = next((gib << 30 for k, gib in hbm_gib.items() if k in kind),
+                    0)
+        if not free:
+            return None
     budget = int(free * 0.45)
     return budget if budget > 0 else None
 

@@ -273,3 +273,31 @@ def test_cache_projections_true_honored_single_block(scan, tmp_path,
         output_path=str(tmp_path), backend="xla", cache_projections=True)
     app_mod.run_job(job)
     assert seen.get("called"), "explicit cache_projections=True ignored"
+
+
+def test_auto_hbm_budget_device_kind_fallback(monkeypatch):
+    """Stats-less TPU transports fall back to the device-kind HBM table
+    (a 2048-class volume must still be split, not planned as one
+    un-allocatable 32 GB block)."""
+    import paris_tpu.app as app_mod
+
+    class FakeDev:
+        device_kind = "TPU v5 lite"
+
+        def memory_stats(self):
+            return {}
+
+    monkeypatch.setattr(app_mod, "_jax", None, raising=False)
+    import jax as _jax
+    monkeypatch.setattr(_jax, "local_devices", lambda: [FakeDev()])
+    budget = app_mod._auto_hbm_budget()
+    assert budget == int((16 << 30) * 0.45)
+
+    class UnknownDev:
+        device_kind = "FPGA mystery"
+
+        def memory_stats(self):
+            return {}
+
+    monkeypatch.setattr(_jax, "local_devices", lambda: [UnknownDev()])
+    assert app_mod._auto_hbm_budget() is None
