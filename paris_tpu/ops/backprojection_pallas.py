@@ -82,6 +82,7 @@ __all__ = [
     "pallas_supported",
     "to_kernel_layout",
     "from_kernel_layout",
+    "from_kernel_layout_host",
     "pad_projections_t",
 ]
 
@@ -148,6 +149,26 @@ def from_kernel_layout(vol_yxz: jnp.ndarray, shape_zyx: Tuple[int, int, int]
                        ) -> jnp.ndarray:
     dz, ny, nx = shape_zyx
     return jnp.transpose(vol_yxz[:ny, :nx, :dz], (2, 0, 1))
+
+
+def from_kernel_layout_host(vol_yxz, shape_zyx: Tuple[int, int, int],
+                            slab: int = 64) -> np.ndarray:
+    """(ny, nxp, nzp) device accumulator -> host (dz, ny, nx) ndarray.
+
+    Device-side ``from_kernel_layout`` materializes the sliced AND the
+    transposed copy next to the live accumulator (~3x the block in HBM
+    — an OOM at 2048-class blocks, where the accumulator alone is
+    8 GiB).  This variant pulls z-slabs (one ~1 GiB eager slice each)
+    and transposes on the host, so device peak stays accumulator + one
+    slab.
+    """
+    dz, ny, nx = shape_zyx
+    out = np.empty((dz, ny, nx), np.float32)
+    for z0 in range(0, dz, slab):
+        z1 = min(dz, z0 + slab)
+        part = np.asarray(vol_yxz[:, :, z0:z1])     # d2h (ny, nxp, s)
+        out[z0:z1] = np.transpose(part[:ny, :nx, :], (2, 0, 1))
+    return out
 
 
 def pad_projections_t(projections: jnp.ndarray,

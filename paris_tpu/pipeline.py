@@ -284,6 +284,12 @@ class Reconstructor:
     def finalize(self, volume: jnp.ndarray) -> np.ndarray:
         """Backend state -> (dz, ny, nx) ndarray."""
         if self.backend == "pallas":
+            if volume.nbytes > (1 << 30):
+                # big blocks: slab-wise d2h + host transpose — the
+                # device-side transpose would materialize ~3x the block
+                # in HBM (OOMs at 2048-class, where the state is 8 GiB)
+                return self._bpp.from_kernel_layout_host(
+                    volume, self.block_shape)
             out = self._bpp.from_kernel_layout(volume, self.block_shape)
             return np.asarray(out)
         return np.asarray(volume)

@@ -313,3 +313,17 @@ def test_pallas_fast_bf16_projection_band(setup):
     scale = np.abs(ref).max()
     assert np.abs(out - ref).max() / scale < 2e-2
     assert np.sqrt(np.mean((out - ref) ** 2)) / scale < 2e-3
+
+
+def test_from_kernel_layout_host_matches_device():
+    """Slab-wise host transpose == device-side layout conversion
+    (the big-block finalize path that avoids 3x-block HBM peaks)."""
+    from paris_tpu.ops import backprojection_pallas as bpp
+    rng = np.random.default_rng(31)
+    shape = (37, 40, 50)           # dz, ny, nx (unaligned on purpose)
+    vol = rng.standard_normal(shape).astype(np.float32)
+    vk = bpp.to_kernel_layout(jnp.asarray(vol))
+    dev = np.asarray(bpp.from_kernel_layout(vk, shape))
+    host = bpp.from_kernel_layout_host(vk, shape, slab=16)
+    np.testing.assert_array_equal(host, dev)
+    np.testing.assert_array_equal(host, vol)
