@@ -265,3 +265,35 @@ def test_distributed_roi_matches_single_device_roi(setup):
         distp.init_block(), projs[:8], angles[:8],
         roi_offset=(roi.x1, roi.y1, roi.z1)))[: roi_geo.dim_z]
     np.testing.assert_allclose(outp, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_distributed_pallas_static_plan_engages(setup):
+    """The per-block static window plan must engage (and agree with the
+    XLA path) through DistributedReconstructor: tall detector, wide
+    band -> K = VP/128 > span_w, plan keyed by (z0, v_band_lo)."""
+    from paris_tpu.ops import backprojection_pallas as bpp
+    from paris_tpu.ops.backprojection_xla import make_bp_grid
+
+    det = DetectorGeometry(
+        n_row=96, n_col=640, l_px_row=2.0, l_px_col=2.0,
+        delta_s=0.0, delta_t=0.0, d_so=500.0, d_od=500.0, delta_phi=2.0,
+    )
+    vol = derive_volume_geometry(det)
+    grid = make_bp_grid(det, vol)
+    span_w = bpp._v_span_windows(grid)
+    rng = np.random.default_rng(41)
+    projs = rng.standard_normal((8, det.n_col, det.n_row)).astype(np.float32)
+    angles = np.arange(8, dtype=np.float32) * 11.0
+    mesh = make_z_mesh()
+
+    dz = 16
+    z0 = 536                    # the odd-base regression geometry
+    dist = DistributedReconstructor(
+        det, vol, mesh=mesh, chunk_size=8, block_dz=dz,
+        backend="pallas", interpret=True, v_band_width=640)
+    assert dist._vp // 128 > max(span_w, 2), "static plan must engage"
+    out = dist.finalize(dist.accumulate(
+        dist.init_block(), projs, angles, z_offset=z0))
+
+    full = reconstruct(det, vol, projs, angles, chunk_size=8, backend="xla")
+    np.testing.assert_allclose(out, full[z0:z0 + dz], rtol=1e-4, atol=5e-4)
