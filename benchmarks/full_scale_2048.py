@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import os
 import sys
 import tempfile
@@ -32,6 +33,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s %(name)s: %(message)s")
 
 
 def main():
@@ -95,7 +99,9 @@ def main():
     job = ReconstructionJob(
         det=det, input_path=pdir, output_path=workdir, prefix="c5",
         chunk_size=8, accuracy=args.accuracy,
-        # hbm_budget_bytes=None -> auto from device memory_stats (the gate)
+        # hbm_budget_bytes=None -> auto from device memory_stats (the gate);
+        # resume: a pinned workdir keeps completed blocks across reruns
+        resume=args.workdir is not None,
     )
 
     # replicate run_job's planning to locate the first block seam (the

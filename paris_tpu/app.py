@@ -338,7 +338,12 @@ def _run_job(job: ReconstructionJob) -> str:
             logger.warning("no projections found in %s", job.input_path)
         with timers.time("finalize+write"):
             out = rec.finalize(volume)[: block.dim_z]
+            # free the device accumulator NOW: the next iteration's
+            # init_block otherwise allocates alongside it (2x block in
+            # HBM — an OOM at 2048-class, where one block is 8 GiB)
+            volume = None
             sink.write_block(block.index, out, block.z0)
+            del out
         n_done += 1
         pps, gups = meter.rates()
         logger.info("block %d done (%d projections, %.1f proj/s, %.1f Gupd/s)",

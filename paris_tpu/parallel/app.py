@@ -162,12 +162,15 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
                     # each process writes only its addressable shards
                     rec.write_shards(volume, sink.path, block.z0,
                                      block.dim_z)
+                    volume = None      # free before the next init_block
                     multihost.barrier(f"paris-block-{block.index}")
                     if jax.process_index() == 0:
                         sink.mark_done(block.index)
                 else:
                     out = rec.finalize(volume)[: block.dim_z]
+                    volume = None      # free before the next init_block
                     sink.write_block(block.index, out, block.z0)
+                    del out
             logger.info("block %d done (%d projections)", block.index, n_proj)
 
     timers.report(logger)
