@@ -99,6 +99,23 @@ def main():
         cap = _TimerCapture()
         logging.getLogger("paris_tpu.app").addHandler(cap)
         logging.getLogger("paris_tpu.app").setLevel(logging.INFO)
+
+        # WARMUP: a 16-projection job with the same geometry/config
+        # shares the compiled step (pipeline._STEP_CACHE), so the timed
+        # run below measures streaming, not the tunnel's remote-compile
+        # latency (measured 37-424 s for this program).  Deployed
+        # services hold the compiled step the same way.
+        wdir = os.path.join(workdir, "warm")
+        os.makedirs(os.path.join(wdir, "proj"))
+        write_his(os.path.join(wdir, "proj", "w.his"), all_projs[:16],
+                  number_dtype=np.float32)
+        t0 = time.perf_counter()
+        run_job(ReconstructionJob(
+            det=det, input_path=os.path.join(wdir, "proj"),
+            output_path=wdir, prefix="warm", accuracy=args.accuracy))
+        res["warmup_seconds"] = round(time.perf_counter() - t0, 1)
+        cap.stages.clear()
+
         job = ReconstructionJob(
             det=det, input_path=pdir, output_path=workdir, prefix="c3",
             accuracy=args.accuracy)

@@ -319,12 +319,19 @@ def _run_job(job: ReconstructionJob) -> str:
                 # reuse the cache
                 collect = cache is True or (cache is None and info.num > 1)
                 datas, angles = [], []
+                # double-buffer ACROSS source chunks: chunk i+1's h2d is
+                # issued (stage_chunk) before chunk i's step dispatch,
+                # so the transfer overlaps device execution
+                staged = None
                 for chunk in new_source().iter_chunks(rec.chunk_size):
                     data = np.stack([p.data for p in chunk])
                     angs = np.asarray([p.phi for p in chunk], np.float32)
-                    volume = rec.accumulate(
-                        volume, data, angs,
-                        z_offset=block.z0, roi_offset=(rx1, ry1, rz1))
+                    nxt = rec.stage_chunk(data, angs)
+                    if staged is not None:
+                        volume = rec.step_staged(
+                            volume, staged, z_offset=block.z0,
+                            roi_offset=(rx1, ry1, rz1))
+                    staged = nxt
                     n_proj += len(chunk)
                     meter.add(len(chunk))
                     if collect:
@@ -332,6 +339,10 @@ def _run_job(job: ReconstructionJob) -> str:
                         angles.append(angs)
                         if sum(d.nbytes for d in datas) > job.max_cache_bytes:
                             collect, datas, angles = False, [], []
+                if staged is not None:     # drain the double buffer
+                    volume = rec.step_staged(
+                        volume, staged, z_offset=block.z0,
+                        roi_offset=(rx1, ry1, rz1))
                 if collect and datas:
                     cached = (np.concatenate(datas), np.concatenate(angles))
         if n_proj == 0:
