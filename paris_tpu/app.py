@@ -27,6 +27,7 @@ import time
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
+import jax
 
 from .exceptions import (
     ParisError, StageConstructionError, StageRuntimeError,
@@ -345,6 +346,10 @@ def _run_job(job: ReconstructionJob) -> str:
                         roi_offset=(rx1, ry1, rz1))
                 if collect and datas:
                     cached = (np.concatenate(datas), np.concatenate(angles))
+            # close the stage only when the device has actually finished
+            # (async dispatch returns early); keeps the reconstruct /
+            # finalize+write split honest
+            jax.block_until_ready(volume)
         if n_proj == 0:
             logger.warning("no projections found in %s", job.input_path)
         with timers.time("finalize+write"):
