@@ -198,8 +198,10 @@ class Reconstructor:
                                    static_argnums=(5, 6))
                 def _step(volume_yxz, chunk, sin_phi, cos_phi, offs,
                           z0s=None, vls=None):
+                    # fast mode stages bf16 over the wire; filter in f32
                     filtered = preprocess_chunk(
-                        chunk, weights, spectrum, det.n_row)
+                        chunk.astype(jnp.float32), weights, spectrum,
+                        det.n_row)
                     if accuracy == "fast":
                         proj_t = bpp.pad_projections_t(filtered,
                                                        jnp.bfloat16)
@@ -293,9 +295,11 @@ class Reconstructor:
 
         Returns the argument pack ``step_staged`` consumes.  Issuing the
         device transfer one chunk AHEAD of the step that consumes it
-        overlaps h2d with the previous step's device execution — per
-        measured v5e timings the non-overlapped transfer cost ~0.8 s of
-        each 1.1 s chunk step.
+        overlaps h2d with the previous step's device execution, and in
+        "fast" accuracy the chunk crosses the wire as bf16 — half the
+        host->device bytes (the kernel's interpolation tables are bf16
+        regardless, so pre-filter bf16 staging stays in the same error
+        class; measured on chip, see BASELINE.md).  "exact" stages f32.
         """
         C = self.chunk_size
         chunk = np.asarray(chunk, dtype=np.float32)
@@ -304,6 +308,9 @@ class Reconstructor:
             pad = C - chunk.shape[0]
             chunk = np.pad(chunk, ((0, pad), (0, 0), (0, 0)))
             ang = np.pad(ang, (0, pad))
+        if self.accuracy == "fast" and self.backend == "pallas":
+            import ml_dtypes
+            chunk = chunk.astype(ml_dtypes.bfloat16)
         phi = np.deg2rad(ang).astype(np.float32)
         put = (functools.partial(jax.device_put, device=self.device)
                if self.device else jax.device_put)

@@ -55,3 +55,19 @@ def test_config1_reconstruction_resembles_phantom(scan64):
     mid = vol.dim_z // 2
     corr = np.corrcoef(ours[mid].ravel(), ph[mid].ravel())[0, 1]
     assert corr > 0.85, f"corr {corr:.3f}"
+
+
+def test_config1_pallas_fast_bf16_staging_vs_golden_rmse(scan64):
+    """Fast accuracy with bf16 WIRE staging (stage_chunk casts the raw
+    chunk to bf16 before h2d — half the transfer bytes) must still meet
+    the 1e-3 gate: pre-filter bf16 noise is the same error class as the
+    bf16 interpolation tables fast mode already uses."""
+    from paris_tpu.pipeline import Reconstructor
+    det, vol, projs, angles, _ = scan64
+    golden = golden_fdk(projs, angles, det, vol)
+    rec = Reconstructor(det, vol, chunk_size=16, backend="pallas",
+                        interpret=True, accuracy="fast")
+    ours = rec.run(projs, angles)
+    rmse = float(np.sqrt(np.mean((ours - golden) ** 2)))
+    scale = float(np.abs(golden).max())
+    assert rmse / scale <= 1e-3, f"relative RMSE {rmse/scale:.2e} > 1e-3"
