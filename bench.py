@@ -85,6 +85,7 @@ def main():
     sin = jnp.asarray(np.sin(phi))
     cos = jnp.asarray(np.cos(phi))
     chunk_j = jnp.asarray(chunk)
+    qparams = jnp.asarray([1.0, 0.0], jnp.float32)   # f32 chunk, no dequant
     z0 = 0
     vlo = rec._v_band_lo(z0) if rec.backend == "pallas" else 0
     offs = jnp.asarray([0, 0, z0, vlo], jnp.int32)
@@ -93,7 +94,7 @@ def main():
     volume = rec.init_block()
     # compile + warmup (materialize: block_until_ready alone can return
     # before donated-alias pallas outputs are actually computed)
-    volume = rec._step(volume, chunk_j, sin, cos, offs, *extra)
+    volume = rec._step(volume, chunk_j, sin, cos, qparams, offs, *extra)
     float(jnp.sum(volume))
 
     block_voxels = (block_shape[0] * block_shape[1] * block_shape[2]
@@ -101,7 +102,7 @@ def main():
     iters = min(100, max(3, int(np.ceil(2.0e10 / (block_voxels * C)))))
     t0 = time.perf_counter()
     for _ in range(iters):
-        volume = rec._step(volume, chunk_j, sin, cos, offs, *extra)
+        volume = rec._step(volume, chunk_j, sin, cos, qparams, offs, *extra)
     float(jnp.sum(volume))
     dt = (time.perf_counter() - t0) / iters
 

@@ -195,13 +195,14 @@ class Reconstructor:
                     vp_full)
 
                 @functools.partial(jax.jit, donate_argnums=(0,),
-                                   static_argnums=(5, 6))
-                def _step(volume_yxz, chunk, sin_phi, cos_phi, offs,
-                          z0s=None, vls=None):
-                    # fast mode stages bf16 over the wire; filter in f32
+                                   static_argnums=(6, 7))
+                def _step(volume_yxz, chunk, sin_phi, cos_phi, qparams,
+                          offs, z0s=None, vls=None):
+                    # fast mode stages affine-u16 over the wire; the
+                    # dequant fuses into the weight multiply
+                    dq = chunk.astype(jnp.float32) * qparams[0] + qparams[1]
                     filtered = preprocess_chunk(
-                        chunk.astype(jnp.float32), weights, spectrum,
-                        det.n_row)
+                        dq, weights, spectrum, det.n_row)
                     if accuracy == "fast":
                         proj_t = bpp.pad_projections_t(filtered,
                                                        jnp.bfloat16)
@@ -234,9 +235,10 @@ class Reconstructor:
                                             self.grid)
 
                 @functools.partial(jax.jit, donate_argnums=(0,))
-                def _step(volume, chunk, sin_phi, cos_phi, offs):
+                def _step(volume, chunk, sin_phi, cos_phi, qparams, offs):
                     filtered = preprocess_chunk(
-                        chunk, weights, spectrum, det.n_row)
+                        chunk.astype(jnp.float32) * qparams[0] + qparams[1],
+                        weights, spectrum, det.n_row)
                     return backproject_chunk_xla(
                         volume, filtered, sin_phi, cos_phi, grid_,
                         z_offset=offs[2], roi_offset=(offs[0], offs[1], 0),
@@ -296,10 +298,13 @@ class Reconstructor:
         Returns the argument pack ``step_staged`` consumes.  Issuing the
         device transfer one chunk AHEAD of the step that consumes it
         overlaps h2d with the previous step's device execution, and in
-        "fast" accuracy the chunk crosses the wire as bf16 — half the
-        host->device bytes (the kernel's interpolation tables are bf16
-        regardless, so pre-filter bf16 staging stays in the same error
-        class; measured on chip, see BASELINE.md).  "exact" stages f32.
+        "fast" accuracy the chunk crosses the wire as per-chunk
+        affine-quantized u16 — half the host->device bytes with
+        range/65535 absolute error (~1.5e-5 of the data range, far
+        below the 1e-3 gate; bf16 staging was tried first and FAILED
+        the 1024-class gate at 5.5e-3 — the ramp filter amplifies
+        pre-filter quantization noise, so 16 uniform bits beat 8
+        mantissa bits).  "exact" stages f32 (lossless).
         """
         C = self.chunk_size
         chunk = np.asarray(chunk, dtype=np.float32)
@@ -308,13 +313,20 @@ class Reconstructor:
             pad = C - chunk.shape[0]
             chunk = np.pad(chunk, ((0, pad), (0, 0), (0, 0)))
             ang = np.pad(ang, (0, pad))
-        if self.accuracy == "fast" and self.backend == "pallas":
-            import ml_dtypes
-            chunk = chunk.astype(ml_dtypes.bfloat16)
-        phi = np.deg2rad(ang).astype(np.float32)
         put = (functools.partial(jax.device_put, device=self.device)
                if self.device else jax.device_put)
-        return (put(chunk), put(np.sin(phi)), put(np.cos(phi)))
+        if self.accuracy == "fast" and self.backend == "pallas":
+            lo = float(chunk.min())
+            scale = (float(chunk.max()) - lo) / 65535.0
+            if scale <= 0.0:
+                scale = 1.0
+            chunk = np.round((chunk - lo) * (1.0 / scale)).astype(np.uint16)
+            qparams = np.asarray([scale, lo], np.float32)
+        else:
+            qparams = np.asarray([1.0, 0.0], np.float32)
+        phi = np.deg2rad(ang).astype(np.float32)
+        return (put(chunk), put(np.sin(phi)), put(np.cos(phi)),
+                put(qparams))
 
     def _offsets(self, z_offset, roi_offset):
         rx1, ry1, rz1 = roi_offset
@@ -328,8 +340,9 @@ class Reconstructor:
                     roi_offset: Tuple[int, int, int] = (0, 0, 0)):
         """Accumulate one pre-staged chunk (see ``stage_chunk``)."""
         offs, extra = self._offsets(z_offset, roi_offset)
-        dev_chunk, sin, cos = staged
-        return self._step(volume, dev_chunk, sin, cos, offs, *extra)
+        dev_chunk, sin, cos, qparams = staged
+        return self._step(volume, dev_chunk, sin, cos, qparams, offs,
+                          *extra)
 
     def accumulate(
         self,

@@ -57,11 +57,12 @@ def test_config1_reconstruction_resembles_phantom(scan64):
     assert corr > 0.85, f"corr {corr:.3f}"
 
 
-def test_config1_pallas_fast_bf16_staging_vs_golden_rmse(scan64):
-    """Fast accuracy with bf16 WIRE staging (stage_chunk casts the raw
-    chunk to bf16 before h2d — half the transfer bytes) must still meet
-    the 1e-3 gate: pre-filter bf16 noise is the same error class as the
-    bf16 interpolation tables fast mode already uses."""
+def test_config1_pallas_fast_u16_staging_vs_golden_rmse(scan64):
+    """Fast accuracy with affine-u16 WIRE staging (stage_chunk
+    quantizes the raw chunk per-chunk before h2d — half the transfer
+    bytes at ~1.5e-5 of the data range) must meet the 1e-3 gate.
+    (bf16 staging was rejected: the ramp filter amplifies pre-filter
+    quantization noise, 5.5e-3 at the 1024 flagship.)"""
     from paris_tpu.pipeline import Reconstructor
     det, vol, projs, angles, _ = scan64
     golden = golden_fdk(projs, angles, det, vol)
