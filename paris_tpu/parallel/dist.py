@@ -110,11 +110,12 @@ class DistributedReconstructor:
             self._state_shape = (dz, vol.dim_y, vol.dim_x)
             self._vp = 0
 
-            def shard_step(volume, chunk, sin_phi, cos_phi, offs,
-                           static_plan=None):   # unused on the XLA path
+            def shard_step(volume, chunk, sin_phi, cos_phi, qparams,
+                           offs, static_plan=None):  # static_plan: XLA n/a
                 # volume: (local_dz, ny, nx); chunk: (C/n, n_col, n_row)
+                dq = chunk.astype(jnp.float32) * qparams[0] + qparams[1]
                 filtered = filter_projections(
-                    chunk * self._weights, self._spectrum, det.n_row)
+                    dq * self._weights, self._spectrum, det.n_row)
                 filtered = jax.lax.all_gather(filtered, Z_AXIS, tiled=True)
                 sins = jax.lax.all_gather(sin_phi, Z_AXIS, tiled=True)
                 coss = jax.lax.all_gather(cos_phi, Z_AXIS, tiled=True)
@@ -138,12 +139,14 @@ class DistributedReconstructor:
             self._vp = vp_full if v_band_width is None else \
                 min(vp_full, _round_up(v_band_width, 128))
 
-            def shard_step(volume, chunk, sin_phi, cos_phi, offs,
-                           static_plan=None):
-                # volume: (local_ny, nxp, nzp); fast mode gathers bf16 —
-                # half the ICI broadcast bytes and half the VMEM band
+            def shard_step(volume, chunk, sin_phi, cos_phi, qparams,
+                           offs, static_plan=None):
+                # volume: (local_ny, nxp, nzp); fast mode arrives as
+                # affine-u16 over the host->device wire (dequant here)
+                # and gathers bf16 over ICI — half the bytes both hops
+                dq = chunk.astype(jnp.float32) * qparams[0] + qparams[1]
                 filtered = filter_projections(
-                    chunk * self._weights, self._spectrum, det.n_row)
+                    dq * self._weights, self._spectrum, det.n_row)
                 if accuracy == "fast":
                     proj_t = bpp.pad_projections_t(filtered, jnp.bfloat16)
                 else:
@@ -179,7 +182,8 @@ class DistributedReconstructor:
             mapped = jax.shard_map(
                 functools.partial(shard_step, static_plan=static_plan),
                 mesh=self.mesh,
-                in_specs=(vol_spec, proj_spec, ang_spec, ang_spec, P()),
+                in_specs=(vol_spec, proj_spec, ang_spec, ang_spec, P(),
+                          P()),
                 out_specs=vol_spec,
                 # pallas_call out_shapes carry no varying-mesh-axes info
                 check_vma=False,
@@ -249,11 +253,22 @@ class DistributedReconstructor:
                 chunk = np.pad(chunk, ((0, pad), (0, 0), (0, 0)))
                 ang = np.pad(ang, (0, pad))
             phi = np.deg2rad(ang).astype(np.float32)
+            if self.accuracy == "fast" and self.backend == "pallas":
+                # affine-u16 wire staging (see pipeline.stage_chunk):
+                # halves each host's h2d bytes at ~1.5e-5-of-range error
+                lo = float(chunk.min())
+                qscale = (float(chunk.max()) - lo) / 65535.0 or 1.0
+                chunk = np.round(
+                    (chunk - lo) * (1.0 / qscale)).astype(np.uint16)
+                qparams = np.asarray([qscale, lo], np.float32)
+            else:
+                qparams = np.asarray([1.0, 0.0], np.float32)
             volume = step(
                 volume,
                 self._put(chunk, self._proj_sharding),
                 self._put(np.sin(phi), self._ang_sharding),
                 self._put(np.cos(phi), self._ang_sharding),
+                self._put(qparams, NamedSharding(self.mesh, P())),
                 offs,
             )
         return volume

@@ -297,3 +297,19 @@ def test_distributed_pallas_static_plan_engages(setup):
 
     full = reconstruct(det, vol, projs, angles, chunk_size=8, backend="xla")
     np.testing.assert_allclose(out, full[z0:z0 + dz], rtol=1e-4, atol=5e-4)
+
+
+def test_distributed_pallas_fast_u16_staging(setup):
+    """Fast-accuracy distributed path (affine-u16 wire staging + bf16
+    ICI gather) stays within fast-mode tolerance of the XLA result."""
+    det, vol, projs, angles = setup
+    mesh = make_z_mesh()
+    dist = DistributedReconstructor(
+        det, vol, mesh=mesh, chunk_size=8, block_dz=vol.dim_z,
+        backend="pallas", interpret=True, accuracy="fast")
+    out = dist.reconstruct(projs[:8], angles[:8])
+    ref = reconstruct(det, vol, projs[:8], angles[:8],
+                      chunk_size=8, backend="xla")
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() / scale < 2e-2
+    assert np.sqrt(np.mean((out - ref) ** 2)) / scale < 2e-3
