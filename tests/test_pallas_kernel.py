@@ -327,3 +327,36 @@ def test_from_kernel_layout_host_matches_device():
     host = bpp.from_kernel_layout_host(vk, shape, slab=16)
     np.testing.assert_array_equal(host, dev)
     np.testing.assert_array_equal(host, vol)
+
+
+def test_stage_chunk_u16_quantization_edges():
+    """Affine-u16 staging: constant chunks (zero range) and negative
+    values round-trip within range/65535."""
+    import jax
+    from paris_tpu.pipeline import Reconstructor
+    det = DetectorGeometry(
+        n_row=96, n_col=80, l_px_row=2.0, l_px_col=2.0,
+        delta_s=0.0, delta_t=0.0, d_so=500.0, d_od=500.0, delta_phi=2.0,
+    )
+    vol = derive_volume_geometry(det)
+    rec = Reconstructor(det, vol, chunk_size=2, backend="pallas",
+                        interpret=True, accuracy="fast")
+    rng = np.random.default_rng(5)
+    chunk = rng.uniform(-3.0, 5.0, (2, det.n_col, det.n_row)).astype(
+        np.float32)
+    dev, _, _, q = rec.stage_chunk(chunk, np.zeros(2, np.float32))
+    assert dev.dtype == jnp.uint16
+    back = np.asarray(dev, np.float32) * float(q[0]) + float(q[1])
+    assert np.abs(back - chunk).max() <= (5.0 + 3.0) / 65535 * 1.01
+
+    flat = np.full((2, det.n_col, det.n_row), 7.5, np.float32)
+    devf, _, _, qf = rec.stage_chunk(flat, np.zeros(2, np.float32))
+    backf = np.asarray(devf, np.float32) * float(qf[0]) + float(qf[1])
+    np.testing.assert_allclose(backf, flat)
+
+    # exact mode stays f32 on the wire
+    rece = Reconstructor(det, vol, chunk_size=2, backend="pallas",
+                         interpret=True, accuracy="exact")
+    deve, _, _, qe = rece.stage_chunk(chunk, np.zeros(2, np.float32))
+    assert deve.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(qe), [1.0, 0.0])
