@@ -347,6 +347,7 @@ def _bp_kernel(
     z_tile: int = _LANE,
     debug_variant: int = 0,
     swin=None,      # static per-z2 window plan [(base, n_windows), ...]
+    fori: int = 0,    # >0: lax.fori_loop over angle blocks of this size
 ):
     if x3:      # bf16x3: projections arrive as (hi, lo) bf16 planes
         proj_ref, proj_lo_ref, vol_in_ref, vol_out_ref, *scratch = refs
@@ -421,7 +422,8 @@ def _bp_kernel(
     @pl.when(jnp.logical_and(zt == 0, debug_variant != 3))
     def _stage1():
         band_cols = jax.lax.broadcasted_iota(jnp.int32, (XT, band), 1)
-        for c in range(C):
+
+        def _stage1_angle(c, carry=0):
             safe, factor, weight = per_angle(c)
             sin_c, cos_c = sin_ref[c], cos_ref[c]
             t = -xs * sin_c + ys * cos_c
@@ -506,6 +508,22 @@ def _bp_kernel(
                     axis=1) - Q)
                 store_windows(q_ref, Q)
                 store_windows(dq_ref, D)
+            return carry
+
+        if fori:
+            # loop over angle BLOCKS of ``fori`` unrolled angles instead
+            # of C unrolled copies: C/fori-fold less Mosaic IR (remote
+            # compiles of the fully-unrolled flagship kernel measured
+            # 400-700 s; fori=1 compiles in ~20 s) while in-block
+            # unrolling preserves most cross-angle pipelining
+            def _s1_block(i, carry):
+                for k in range(fori):
+                    _stage1_angle(i * fori + k)
+                return carry
+            jax.lax.fori_loop(0, C // fori, _s1_block, 0)
+        else:
+            for c in range(C):
+                _stage1_angle(c)
 
     # ---- stage 2: v-interp + accumulate this (1, XT, z_tile) block --------
     # The block holds z_tile//128 lane-width sub-tiles; processing several
@@ -540,7 +558,8 @@ def _bp_kernel(
         # scalar chains, no dynamic scratch addressing (measured ~4 ps/upd
         # at the 1024 flagship), and nw as low as 2 for sub-tiles near
         # the rotation-axis z-center where the factor spread is narrow.
-        fscales = [per_angle(c)[1] * inv_lpx for c in range(C)]
+        fscales = None if fori else [per_angle(c)[1] * inv_lpx
+                                     for c in range(C)]
         for z2 in range(n_z2):
             wb, nw, skip = swin[z2]
             zb = z2 * _LANE             # single z-step: zt == 0
@@ -550,8 +569,12 @@ def _bp_kernel(
             total = vol_in_ref[0, :, z2 * _LANE:(z2 + 1) * _LANE]
             vb_adj = vb - jnp.float32(64 * wb)
             lo_adj = lo_b - 64 * wb
-            for c in range(C):
-                v = zs * fscales[c] + vb_adj
+
+            def _angle(c, total, wb=wb, nw=nw, skip=skip, zs=zs,
+                       vb_adj=vb_adj, lo_adj=lo_adj):
+                fscale = (per_angle(c)[1] * inv_lpx if fori
+                          else fscales[c])
+                v = zs * fscale + vb_adj
                 v0f = jnp.floor(v)
                 fv = v - v0f
                 relv = v0f.astype(jnp.int32)     # window-relative v0
@@ -579,10 +602,19 @@ def _bp_kernel(
                     # v0 on-detector; unsafe rows gather their zero Q
                     # row): no border compare+select — ~3 of the ~14
                     # VPU ops per (angle, element) in this loop
-                    total = total + (q0 + fv * d0)
-                else:
-                    valid = (relv - lo_adj).astype(jnp.uint32) <= v_span
-                    total = total + jnp.where(valid, q0 + fv * d0, 0.0)
+                    return total + (q0 + fv * d0)
+                valid = (relv - lo_adj).astype(jnp.uint32) <= v_span
+                return total + jnp.where(valid, q0 + fv * d0, 0.0)
+
+            if fori:
+                def _blk(i, total):
+                    for k in range(fori):
+                        total = _angle(i * fori + k, total)
+                    return total
+                total = jax.lax.fori_loop(0, C // fori, _blk, total)
+            else:
+                for c in range(C):
+                    total = _angle(c, total)
             vol_out_ref[0, :, z2 * _LANE:(z2 + 1) * _LANE] = total
         return
 
@@ -795,6 +827,9 @@ def backproject_chunk_pallas_yxz(
             "geometry's h-span per x-tile exceeds the interpolation band; "
             "use the XLA backend")
     span_w = _v_span_windows(grid, x_tile)
+    fori_n = int(os.environ.get("PARIS_BP_FORI", "0"))
+    if fori_n and C % fori_n:
+        fori_n = 1          # angle count must divide the block size
     det, vol = grid.det, grid.vol
     r_b = min((vol.dim_x / 2.0) * vol.l_vx_x * math.sqrt(2.0),
               abs(grid.d_so) * 0.95)
@@ -829,7 +864,8 @@ def backproject_chunk_pallas_yxz(
         pack=pack_qdq, x3=x3,
         window_mode=window_mode, den_floor=den_floor, z_tile=z_tile,
         debug_variant=int(os.environ.get("PARIS_BP_DEBUG_VARIANT", "0")),
-        swin=swin)
+        swin=swin,
+        fori=fori_n)
 
     # Q windows live at 64-lane stride (overlapping), KW = 2*VP/128 - 1:
     # halves the worst-case gather count per (angle, sub-tile) at the

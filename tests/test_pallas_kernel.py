@@ -360,3 +360,38 @@ def test_stage_chunk_u16_quantization_edges():
     deve, _, _, qe = rece.stage_chunk(chunk, np.zeros(2, np.float32))
     assert deve.dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(qe), [1.0, 0.0])
+
+
+def test_pallas_fori_partial_unroll_matches(monkeypatch):
+    """PARIS_BP_FORI=N (angle loop over N-unrolled blocks) == full
+    unroll, including the static-plan path."""
+    det, vol, grid, projs, phi = (None,) * 5
+    det = DetectorGeometry(
+        n_row=96, n_col=640, l_px_row=2.0, l_px_col=2.0,
+        delta_s=0.0, delta_t=0.0, d_so=500.0, d_od=500.0, delta_phi=2.0,
+    )
+    vol = derive_volume_geometry(det)
+    grid = make_bp_grid(det, vol)
+    rng = np.random.default_rng(43)
+    projs = rng.standard_normal((4, det.n_col, det.n_row)).astype(np.float32)
+    phi = np.deg2rad([0.0, 33.0, 200.0, 290.0]).astype(np.float32)
+    sin, cos = jnp.sin(jnp.asarray(phi)), jnp.cos(jnp.asarray(phi))
+    dz = 16
+    z0 = 536
+    vol0 = jnp.zeros((dz, vol.dim_y, vol.dim_x), jnp.float32)
+    from paris_tpu.ops import backprojection_pallas as bpp
+    vk = bpp.to_kernel_layout(vol0)
+    pt = bpp.pad_projections_t(jnp.asarray(projs))
+    offs = jnp.asarray([0, 0, z0, 0], jnp.int32)
+
+    def run():
+        out = bpp.backproject_chunk_pallas_yxz(
+            vk, pt, sin, cos, grid, offs, interpret=True,
+            window_mode="dynamic", static_plan=(z0, 0))
+        return np.asarray(bpp.from_kernel_layout(out, vol0.shape))
+
+    ref = run()
+    for n in ("1", "2"):
+        monkeypatch.setenv("PARIS_BP_FORI", n)
+        np.testing.assert_allclose(run(), ref, rtol=1e-6, atol=1e-6,
+                                   err_msg=f"fori={n}")
