@@ -37,11 +37,13 @@ SWEEPS = {
     ],
     # stage-2 window strategies (dynamic machinery forced on)
     "windows": [
-        (f"dz512_c8_{m}", {"PARIS_BENCH_CHUNK": "8",
-                           "PARIS_BP_WINDOWS": m,
-                           "PARIS_BP_STATICWIN": "0"})
-        for m in ("dynamic", "direct", "hoist", "prefetch", "dynamic1")
-    ] + [("dz512_c8_staticplan", {"PARIS_BENCH_CHUNK": "8"})],
+        (f"c24_{m}", {"PARIS_BP_WINDOWS": m, "PARIS_BP_STATICWIN": "0"})
+        for m in ("dynamic", "direct")
+    ] + [("c24_staticplan", {})],
+    # compile-size / throughput trade (see PARIS_BP_FORI in the kernel)
+    "fori": [
+        (f"c24_fori{n}", {"PARIS_BP_FORI": str(n)}) for n in (1, 4, 8)
+    ],
     # exact accuracy at the candidate flagship configs
     "exact": [
         ("dz512_c8_exact", {"PARIS_BENCH_CHUNK": "8",

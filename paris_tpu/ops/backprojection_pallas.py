@@ -53,10 +53,12 @@ sublanes.  The grid is (y, x-tile, z-step) with z innermost, so each
 (1, x_tile, z_tile) volume block is read+written once per chunk of C
 angles: chunking amortizes volume HBM traffic below the roofline bound
 (BASELINE.md).  Each grid step processes z_tile/128 lane-width
-sub-tiles (default z_tile=512): a variant bisection measured the fixed
-per-step cost (grid bookkeeping, stage-1 predication, DMA handshakes)
-at ~25% of the kernel at z_tile=128, and deep steps amortize it —
-512-class fast mode goes 43.4 → 50.2 Gupd/s from z_tile 128 → 512.
+sub-tiles; z_tile defaults to the WHOLE padded block (one z grid step),
+which amortizes the fixed per-step cost (grid bookkeeping, stage-1
+predication, DMA handshakes — measured ~25% of the kernel at
+z_tile=128) over every sub-tile and lets the trace-time static window
+plan engage for every block shape (round-3 ladder: dz512-banded 58.2 →
+single-block 72.2 Gupd/s at the 1024 flagship).
 ``PARIS_BP_DEBUG_VARIANT`` (1=scratch-read only, 2=no stage 2,
 3=no stage 1, 4=gathers pinned) re-runs that bisection on any config.
 """
