@@ -314,6 +314,8 @@ def _run_job(job: ReconstructionJob) -> str:
                     volume, data, angs,
                     z_offset=block.z0, roi_offset=(rx1, ry1, rz1))
                 n_proj = len(angs)
+                jax.block_until_ready(volume)
+                meter.add(n_proj)
             else:
                 # explicit True always collects (dataclass contract);
                 # auto (None) collects only when a later block will
