@@ -70,15 +70,18 @@ def _throughput_run(det, n_proj, chunk, label, config_id, accuracy="exact"):
     data = rng.standard_normal((chunk, det.n_col, det.n_row)).astype(np.float32)
     phi = np.deg2rad(np.arange(chunk) * det.delta_phi).astype(np.float32)
     args = (jnp.asarray(data), jnp.asarray(np.sin(phi)),
-            jnp.asarray(np.cos(phi)), jnp.zeros((4,), jnp.int32))
+            jnp.asarray(np.cos(phi)),
+            jnp.asarray([1.0, 0.0], jnp.float32),   # f32 chunk, no dequant
+            jnp.zeros((4,), jnp.int32))
+    extra = (0, 0) if rec.backend == "pallas" else ()
     v = rec.init_block()
-    v = rec._step(v, *args)
+    v = rec._step(v, *args, *extra)
     float(jnp.sum(v))   # materialize: see bench.py timing note
     n_chunks = max(1, n_proj // chunk)
     reps = min(n_chunks, max(3, int(2e10 / (vol.voxels * chunk))))
     t0 = time.perf_counter()
     for _ in range(reps):
-        v = rec._step(v, *args)
+        v = rec._step(v, *args, *extra)
     float(jnp.sum(v))
     dt = (time.perf_counter() - t0) / reps
     gups = vol.voxels * chunk / dt / 1e9
@@ -244,12 +247,15 @@ def config5():
     sins = rec._put(np.sin(phi), rec._ang_sharding)
     coss = rec._put(np.cos(phi), rec._ang_sharding)
     offs = jnp.asarray([0, 0, 0, rec._v_band_lo(0)], jnp.int32)
-    v = rec._step(rec.init_block(), chunk_j, sins, coss, offs)
+    qparams = rec._put(np.asarray([1.0, 0.0], np.float32),
+                       jax.sharding.NamedSharding(
+                           rec.mesh, jax.sharding.PartitionSpec()))
+    v = rec._step(rec.init_block(), chunk_j, sins, coss, qparams, offs)
     float(jnp.sum(v))
     reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
-        v = rec._step(v, chunk_j, sins, coss, offs)
+        v = rec._step(v, chunk_j, sins, coss, qparams, offs)
     float(jnp.sum(v))
     dt = (time.perf_counter() - t0) / reps
     updates = vol.dim_x * vol.dim_y * block * chunk
