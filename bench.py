@@ -85,7 +85,8 @@ def main():
     sin = jnp.asarray(np.sin(phi))
     cos = jnp.asarray(np.cos(phi))
     chunk_j = jnp.asarray(chunk)
-    qparams = jnp.asarray([1.0, 0.0], jnp.float32)   # f32 chunk, no dequant
+    from paris_tpu.pipeline import identity_qparams
+    qparams = jnp.asarray(identity_qparams(C))   # f32 chunk, no dequant
     z0 = 0
     vlo = rec._v_band_lo(z0) if rec.backend == "pallas" else 0
     offs = jnp.asarray([0, 0, z0, vlo], jnp.int32)

@@ -247,9 +247,8 @@ def config5():
     sins = rec._put(np.sin(phi), rec._ang_sharding)
     coss = rec._put(np.cos(phi), rec._ang_sharding)
     offs = jnp.asarray([0, 0, 0, rec._v_band_lo(0)], jnp.int32)
-    qparams = rec._put(np.asarray([1.0, 0.0], np.float32),
-                       jax.sharding.NamedSharding(
-                           rec.mesh, jax.sharding.PartitionSpec()))
+    from paris_tpu.pipeline import identity_qparams
+    qparams = rec._put(identity_qparams(chunk), rec._qp_sharding)
     v = rec._step(rec.init_block(), chunk_j, sins, coss, qparams, offs)
     float(jnp.sum(v))
     reps = 20

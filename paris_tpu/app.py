@@ -108,8 +108,7 @@ def _perf_block_dz(job: ReconstructionJob, vol_geo: VolumeGeometry,
 
     # whole volume in one block, if HBM allows it
     if hbm_budget is None or (hbm_budget - proj_buffer
-                              >= 4 * vol_geo.dim_x * vol_geo.dim_y
-                              * (vol_geo.dim_z + 8)):
+                              >= _block_hbm_bytes(vol_geo, vol_geo.dim_z)):
         if max_chunk_size(job.det, None, accuracy=job.accuracy) >= 8:
             return None
     for dz in (1024, 512, 256, 128):
@@ -119,6 +118,23 @@ def _perf_block_dz(job: ReconstructionJob, vol_geo: VolumeGeometry,
                           accuracy=job.accuracy) >= (8 if dz != 512 else 4):
             return dz
     return None
+
+
+def _block_hbm_bytes(vol_geo: VolumeGeometry, dz: int) -> int:
+    """Peak HBM bytes of one pallas z-block: the 128-padded
+    kernel-layout accumulator plus the big-block finalize d2h slab
+    (``from_kernel_layout_host`` eagerly materializes FINALIZE_SLAB
+    device slices next to the live accumulator).  The previous
+    ``4*x*y*(dz+8)`` estimate under-counted both terms and relied on
+    the 0.45 HBM safety factor to stay safe (ADVICE r3)."""
+    from .ops.backprojection_pallas import FINALIZE_SLAB
+
+    def rup(v, m):
+        return -(-v // m) * m
+
+    acc = 4 * vol_geo.dim_y * rup(vol_geo.dim_x, 128) * rup(dz, 128)
+    slab = 4 * FINALIZE_SLAB * vol_geo.dim_y * vol_geo.dim_x
+    return acc + slab
 
 
 def _auto_hbm_budget() -> Optional[int]:

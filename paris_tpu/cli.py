@@ -97,8 +97,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(geometry_format_help())
         return 0
 
-    if (args.coordinator or args.num_processes or args.process_id) \
-            and not args.distributed:
+    # identity checks, not truthiness: --process-id 0 is the most
+    # common process id and must hit the same validation as id 1
+    if (args.coordinator is not None or args.num_processes is not None
+            or args.process_id is not None) and not args.distributed:
         print("error: --coordinator/--num-processes/--process-id require "
               "--distributed", file=sys.stderr)
         return 2

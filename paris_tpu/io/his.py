@@ -32,7 +32,13 @@ from typing import List, Optional
 
 import numpy as np
 
-__all__ = ["HisHeader", "read_his", "write_his", "HIS_FILE_ID"]
+__all__ = ["HisHeader", "read_his", "read_his_selective", "write_his",
+           "HIS_FILE_ID"]
+
+# observability: frames actually pixel-decoded by this process (the
+# multi-host disjoint-read path asserts each host decodes only its
+# chunk shard's frames; tests/test_multihost_2proc.py)
+DECODE_STATS = {"frames": 0}
 
 HIS_FILE_ID = 0x7000
 _FILE_HEADER_SIZE = 68
@@ -98,7 +104,9 @@ def read_his(path: str) -> np.ndarray:
     from . import native
     if native.available():
         try:
-            return native.his_read(path)
+            frames = native.his_read(path)
+            DECODE_STATS["frames"] += frames.shape[0]
+            return frames
         except native.NativeIoError as e:
             if e.rc in (-2, -3):          # format errors -> HisFormatError
                 raise HisFormatError(str(e)) from e
@@ -123,7 +131,43 @@ def read_his(path: str) -> np.ndarray:
             .astype(np.float32)
         )
         pos = end
+    DECODE_STATS["frames"] += header.frame_number
     return frames
+
+
+def read_his_selective(path: str, want) -> tuple:
+    """Read a HIS file decoding ONLY the frames ``want(j)`` asks for.
+
+    Returns ``(n_frames, frames_dict)`` where ``frames_dict`` maps frame
+    index -> (h, w) float32 array for wanted frames only.  Skipped
+    frames cost a seek, not a pixel decode — the multi-host input path
+    uses this so each host only decodes the frames of its chunk shard
+    (reference analog: every worker decoded the whole stream,
+    src/source.cpp:88-130; at pod scale that makes input bandwidth
+    independent of host count).
+    """
+    with open(path, "rb") as f:
+        header = _parse_header(f.read(_FILE_HEADER_SIZE), path)
+        w, h = header.width, header.height
+        dtype = np.dtype(_NUMBER_TYPES[header.number_type]).newbyteorder("<")
+        frame_bytes = w * h * dtype.itemsize
+        out = {}
+        for i in range(header.frame_number):
+            f.seek(header.image_header_size, 1)
+            if want(i):
+                buf = f.read(frame_bytes)
+                if len(buf) < frame_bytes:
+                    raise HisFormatError(f"{path}: truncated frame {i}")
+                out[i] = (np.frombuffer(buf, dtype=dtype)
+                          .reshape(h, w).astype(np.float32))
+                DECODE_STATS["frames"] += 1
+            else:
+                f.seek(frame_bytes, 1)
+        # a trailing seek past EOF does not raise; validate total length
+        if f.seek(0, 2) < (_FILE_HEADER_SIZE + header.frame_number
+                           * (header.image_header_size + frame_bytes)):
+            raise HisFormatError(f"{path}: truncated file")
+    return header.frame_number, out
 
 
 def write_his(

@@ -26,7 +26,7 @@ from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from .his import read_his, HisFormatError
+from .his import read_his, read_his_selective, HisFormatError
 from .angles import read_angles
 
 logger = logging.getLogger("paris_tpu.io")
@@ -36,7 +36,7 @@ __all__ = ["Projection", "ProjectionSource", "scan_directory"]
 
 @dataclasses.dataclass
 class Projection:
-    data: np.ndarray      # (n_col, n_row) float32
+    data: Optional[np.ndarray]  # (n_col, n_row) f32; None = not decoded
     idx: int              # global projection index (pre-decimation numbering)
     phi: float            # angle in degrees
 
@@ -65,7 +65,15 @@ class ProjectionSource:
         quality: int = 1,
         prefetch: int = 4,
         extensions: Sequence[str] = (".his",),
+        slot_filter=None,
     ):
+        """``slot_filter``: optional predicate on the POST-decimation
+        stream position.  Frames whose position it rejects are yielded
+        with ``data=None`` and their pixel decode is SKIPPED entirely
+        (``read_his_selective``) — the multi-host disjoint-read path:
+        each host decodes only the frames of its chunk shard, so input
+        decode bandwidth scales with host count (the reference decoded
+        the whole stream on every worker, src/source.cpp:88-130)."""
         if quality < 1:
             raise ValueError("quality must be >= 1")
         self.paths = scan_directory(proj_dir, extensions)
@@ -73,24 +81,44 @@ class ProjectionSource:
         self.delta_phi = float(delta_phi)
         self.angles = read_angles(angle_file) if angle_file else None
         self.prefetch = prefetch
+        self.slot_filter = slot_filter
 
     def _angle(self, idx: int) -> float:
         if self.angles is not None and idx < len(self.angles):
             return float(self.angles[idx])
         return idx * self.delta_phi
 
+    def _kept_before(self, idx: int) -> int:
+        """Number of kept (post-decimation) frames among indices [0, idx)."""
+        return -(-idx // self.quality)
+
     def _iter_frames(self) -> Iterator[Projection]:
         idx = 0
         for path in self.paths:
             try:
-                frames = read_his(path)
+                if self.slot_filter is None:
+                    frames = read_his(path)
+                    n = frames.shape[0]
+                else:
+                    idx0 = idx
+
+                    def want(j: int) -> bool:
+                        gi = idx0 + j
+                        if gi % self.quality:
+                            return False       # decimated away
+                        return self.slot_filter(self._kept_before(gi))
+
+                    n, frames = read_his_selective(path, want)
             except (HisFormatError, OSError) as e:
                 logger.warning("skipping invalid file %s: %s", path, e)
                 continue
-            for frame in frames:
+            for j in range(n):
                 if idx % self.quality == 0:
+                    frame = frames[j] if self.slot_filter is None \
+                        else frames.get(j)
                     yield Projection(
-                        data=np.ascontiguousarray(frame, dtype=np.float32),
+                        data=(None if frame is None else
+                              np.ascontiguousarray(frame, dtype=np.float32)),
                         idx=idx,
                         phi=self._angle(idx),
                     )

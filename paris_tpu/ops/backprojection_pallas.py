@@ -153,8 +153,14 @@ def from_kernel_layout(vol_yxz: jnp.ndarray, shape_zyx: Tuple[int, int, int]
     return jnp.transpose(vol_yxz[:ny, :nx, :dz], (2, 0, 1))
 
 
+# z-slab extent of the big-block finalize d2h path; also used by the
+# app's whole-volume-block HBM gate (one slab is eagerly materialized
+# on device next to the live accumulator)
+FINALIZE_SLAB = 64
+
+
 def from_kernel_layout_host(vol_yxz, shape_zyx: Tuple[int, int, int],
-                            slab: int = 64) -> np.ndarray:
+                            slab: int = FINALIZE_SLAB) -> np.ndarray:
     """(ny, nxp, nzp) device accumulator -> host (dz, ny, nx) ndarray.
 
     Device-side ``from_kernel_layout`` materializes the sliced AND the

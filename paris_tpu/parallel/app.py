@@ -23,6 +23,7 @@ from ..geometry import apply_roi, derive_volume_geometry, plan_z_blocks
 from ..io.sink import VolumeSink
 from ..io.source import ProjectionSource
 from ..utils.logging import StageTimers, fmt_duration
+from ..utils.profiling import ThroughputMeter, trace
 from .dist import DistributedReconstructor
 from .mesh import make_z_mesh
 from . import multihost
@@ -30,6 +31,36 @@ from . import multihost
 logger = logging.getLogger("paris_tpu.parallel.app")
 
 __all__ = ["run_job_distributed"]
+
+
+def _owned_slots(mesh, chunk_size: int) -> set:
+    """Chunk-slot indices whose projection-shard lands on THIS process.
+
+    The chunk is sharded blockwise over the mesh axis: mesh position k
+    owns slots [k*C/n, (k+1)*C/n).  A process only ever uploads the
+    slots of its own devices (``dist._put`` pulls addressable shards
+    only), so those are the only frames it needs to decode.
+    """
+    n = mesh.devices.size
+    local = chunk_size // n
+    pidx = jax.process_index()
+    owned = set()
+    for k, dev in enumerate(mesh.devices.flat):
+        if dev.process_index == pidx:
+            owned.update(range(k * local, (k + 1) * local))
+    return owned
+
+
+def _assemble_chunk(plist, det) -> np.ndarray:
+    """Projection list -> (C, n_col, n_row) array; undecoded (None)
+    frames of other hosts' shards become zero rows (never uploaded)."""
+    if all(p.data is not None for p in plist):
+        return np.stack([p.data for p in plist])
+    out = np.zeros((len(plist), det.n_col, det.n_row), np.float32)
+    for i, p in enumerate(plist):
+        if p.data is not None:
+            out[i] = p.data
+    return out
 
 
 def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
@@ -114,6 +145,16 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
     # re-scan-dir-per-task flaw, SURVEY.md §3.2; app.py does the same)
     cache = job.cache_projections
     cached: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    # multi-host: decode ONLY this host's chunk-shard frames — input
+    # decode bandwidth then scales with host count (SURVEY §7
+    # multi-host streaming; ref decoded everything per worker,
+    # src/source.cpp:88-130)
+    slot_filter = None
+    if multihost.is_multihost():
+        owned = _owned_slots(mesh, chunk)
+        logger.info("disjoint input: this process decodes %d/%d chunk "
+                    "slots", len(owned), chunk)
+        slot_filter = lambda pos: (pos % chunk) in owned  # noqa: E731
     with multihost.crash_diagnostics("reconstruct", job.output_path):
         for block in info.blocks:
             if sink.is_done(block.index):
@@ -125,13 +166,17 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
                         block.z0 + block.dim_z - 1)
             volume = rec.init_block()
             n_proj = 0
-            with timers.time("reconstruct"):
+            meter = ThroughputMeter(
+                block.dim_z * vol_geo.dim_y * vol_geo.dim_x)
+            with timers.time("reconstruct"), trace(job.trace_dir):
                 if cached is not None:
                     data, angs = cached
                     volume = rec.accumulate(
                         volume, data, angs,
                         z_offset=block.z0, roi_offset=(rx1, ry1, rz1))
                     n_proj = len(angs)
+                    jax.block_until_ready(volume)
+                    meter.add(n_proj)
                 else:
                     # explicit True always collects (dataclass contract)
                     collect = cache is True or (cache is None
@@ -140,23 +185,42 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
                     src = ProjectionSource(
                         job.input_path, angle_file=job.angle_path,
                         delta_phi=job.det.delta_phi, quality=job.quality,
+                        slot_filter=slot_filter,
                     )
+                    # double-buffer ACROSS source chunks, as in
+                    # app.run_job: chunk i+1's h2d is issued before
+                    # chunk i's step dispatch, so every host's upload
+                    # rides the devices' execution of the previous step
+                    staged = None
                     for plist in src.iter_chunks(chunk):
-                        data = np.stack([p.data for p in plist])
+                        data = _assemble_chunk(plist, job.det)
                         angs = np.asarray([p.phi for p in plist], np.float32)
-                        volume = rec.accumulate(
-                            volume, data, angs,
-                            z_offset=block.z0, roi_offset=(rx1, ry1, rz1))
+                        nxt = rec.stage_chunk(data, angs)
+                        if staged is not None:
+                            volume = rec.step_staged(
+                                volume, staged, z_offset=block.z0,
+                                roi_offset=(rx1, ry1, rz1))
+                        staged = nxt
                         n_proj += len(plist)
+                        meter.add(len(plist))
                         if collect:
                             datas.append(data)
                             angles.append(angs)
                             if sum(d.nbytes for d in datas) > \
                                     job.max_cache_bytes:
                                 collect, datas, angles = False, [], []
+                    if staged is not None:     # drain the double buffer
+                        volume = rec.step_staged(
+                            volume, staged, z_offset=block.z0,
+                            roi_offset=(rx1, ry1, rz1))
                     if collect and datas:
                         cached = (np.concatenate(datas),
                                   np.concatenate(angles))
+                # close the stage only when the devices actually
+                # finished (async dispatch returns early) — keeps the
+                # reconstruct / finalize+write split honest
+                jax.block_until_ready(volume)
+            pps, gups = meter.rates()
             with timers.time("finalize+write"):
                 if multihost.is_multihost():
                     # each process writes only its addressable shards
@@ -171,7 +235,8 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
                     volume = None      # free before the next init_block
                     sink.write_block(block.index, out, block.z0)
                     del out
-            logger.info("block %d done (%d projections)", block.index, n_proj)
+            logger.info("block %d done (%d projections, %.1f proj/s, "
+                        "%.1f Gupd/s)", block.index, n_proj, pps, gups)
 
     timers.report(logger)
     logger.info("distributed reconstruction finished in %s -> %s",

@@ -38,6 +38,10 @@ from ..geometry import DetectorGeometry, VolumeGeometry
 from ..ops.backprojection_xla import backproject_chunk_xla, make_bp_grid
 from ..ops.weighting import weight_map
 from ..ops.filtering import ramp_filter_spectrum, filter_projections
+from ..pipeline import (
+    dequantize_chunk, identity_qparams, quantize_chunk_u16,
+    _proj_bytes, _proj_sublane, _scratch_rows, _vmem_budget,
+)
 from .mesh import Z_AXIS, make_z_mesh
 
 __all__ = ["DistributedReconstructor"]
@@ -113,7 +117,7 @@ class DistributedReconstructor:
             def shard_step(volume, chunk, sin_phi, cos_phi, qparams,
                            offs, static_plan=None):  # static_plan: XLA n/a
                 # volume: (local_dz, ny, nx); chunk: (C/n, n_col, n_row)
-                dq = chunk.astype(jnp.float32) * qparams[0] + qparams[1]
+                dq = dequantize_chunk(chunk, qparams)
                 filtered = filter_projections(
                     dq * self._weights, self._spectrum, det.n_row)
                 filtered = jax.lax.all_gather(filtered, Z_AXIS, tiled=True)
@@ -138,13 +142,30 @@ class DistributedReconstructor:
             vp_full = _round_up(det.n_col, 128)
             self._vp = vp_full if v_band_width is None else \
                 min(vp_full, _round_up(v_band_width, 128))
+            # the all-gather makes the FULL chunk resident in every
+            # device's VMEM, so the budget check uses the global chunk
+            # size — same validation as Reconstructor.__init__
+            # (pipeline.py); without it an oversized chunk surfaces as
+            # a Mosaic allocation failure instead of this message
+            hp = _round_up(det.n_row, _proj_sublane(accuracy))
+            srows = _scratch_rows(accuracy)
+            pb = _proj_bytes(accuracy)
+            vmem_est = self.chunk_size * self._vp * (pb * hp + 4 * srows)
+            budget = _vmem_budget()
+            if vmem_est > budget:
+                max_c = max(1, budget // (self._vp * (pb * hp + 4 * srows)))
+                raise ValueError(
+                    f"chunk_size {self.chunk_size} needs ~{vmem_est >> 20}MB "
+                    f"VMEM for a {hp}x{self._vp} projection band; reduce "
+                    f"chunk_size to <= {max_c} or narrow the detector band")
 
             def shard_step(volume, chunk, sin_phi, cos_phi, qparams,
                            offs, static_plan=None):
                 # volume: (local_ny, nxp, nzp); fast mode arrives as
-                # affine-u16 over the host->device wire (dequant here)
-                # and gathers bf16 over ICI — half the bytes both hops
-                dq = chunk.astype(jnp.float32) * qparams[0] + qparams[1]
+                # per-frame affine-u16 over the host->device wire
+                # (dequant here) and gathers bf16 over ICI — half the
+                # bytes on both hops
+                dq = dequantize_chunk(chunk, qparams)
                 filtered = filter_projections(
                     dq * self._weights, self._spectrum, det.n_row)
                 if accuracy == "fast":
@@ -182,8 +203,8 @@ class DistributedReconstructor:
             mapped = jax.shard_map(
                 functools.partial(shard_step, static_plan=static_plan),
                 mesh=self.mesh,
-                in_specs=(vol_spec, proj_spec, ang_spec, ang_spec, P(),
-                          P()),
+                in_specs=(vol_spec, proj_spec, ang_spec, ang_spec,
+                          P(Z_AXIS, None), P()),
                 out_specs=vol_spec,
                 # pallas_call out_shapes carry no varying-mesh-axes info
                 check_vma=False,
@@ -195,6 +216,9 @@ class DistributedReconstructor:
         self._vol_sharding = NamedSharding(self.mesh, vol_spec)
         self._proj_sharding = NamedSharding(self.mesh, proj_spec)
         self._ang_sharding = NamedSharding(self.mesh, ang_spec)
+        # per-frame qparams ride the same projection-axis sharding, so
+        # each host only needs correct rows for the frames it owns
+        self._qp_sharding = NamedSharding(self.mesh, P(Z_AXIS, None))
 
     def _v_band_lo(self, z0_global: int) -> int:
         vp_full = _round_up(self.det.n_col, 128)
@@ -219,14 +243,61 @@ class DistributedReconstructor:
     def _put(self, data: np.ndarray, sharding) -> jax.Array:
         """Host array -> globally sharded device array (multi-host safe).
 
-        Every process holds the same full ``data`` (each host reads the
-        whole projection stream, SURVEY.md §5 distributed design) and
-        contributes only its addressable shards.
+        Only this process's ADDRESSABLE shards of ``data`` are ever
+        read — rows belonging to other hosts' devices may be
+        zero-filled placeholders (the disjoint-decode input path,
+        parallel/app.py) and never cross any wire.
         """
         if jax.process_count() > 1:
             return jax.make_array_from_callback(
                 data.shape, sharding, lambda idx: data[idx])
         return jax.device_put(data, sharding)
+
+    def _prepare(self, z_offset: int, roi_offset: Tuple[int, int, int]):
+        rx1, ry1, rz1 = roi_offset
+        z0 = int(rz1 + z_offset)
+        vlo = self._v_band_lo(z0)
+        offs = jnp.asarray([rx1, ry1, z0, vlo], jnp.int32)
+        step = (self._step_for((z0, vlo)) if self.backend == "pallas"
+                else self._step)
+        return step, offs
+
+    def stage_chunk(self, chunk, ang):
+        """Start the async h2d of one (chunk, angles) pair.
+
+        Mirrors ``Reconstructor.stage_chunk`` (pipeline.py): issuing
+        the transfer one chunk AHEAD of the step that consumes it
+        overlaps each host's h2d with the devices' execution of the
+        previous step (the reference overlapped upload and compute via
+        its pipelined loader stage + per-thread streams,
+        src/loader.cpp:28-33).  Fast mode stages per-frame affine-u16
+        — half the wire bytes; non-owned frame rows of a multi-host
+        chunk are never read (``_put`` only pulls addressable shards).
+        """
+        C = self.chunk_size
+        chunk = np.asarray(chunk, dtype=np.float32)
+        ang = np.asarray(ang, dtype=np.float32)
+        if ang.shape[0] < C:
+            ang = np.pad(ang, (0, C - ang.shape[0]))
+        if self.accuracy == "fast" and self.backend == "pallas":
+            chunk, qparams = quantize_chunk_u16(chunk, C)
+        else:
+            qparams = identity_qparams(C)
+            if chunk.shape[0] < C:
+                chunk = np.pad(
+                    chunk, ((0, C - chunk.shape[0]), (0, 0), (0, 0)))
+        phi = np.deg2rad(ang).astype(np.float32)
+        return (self._put(chunk, self._proj_sharding),
+                self._put(np.sin(phi), self._ang_sharding),
+                self._put(np.cos(phi), self._ang_sharding),
+                self._put(qparams, self._qp_sharding))
+
+    def step_staged(self, volume, staged, *, z_offset: int = 0,
+                    roi_offset: Tuple[int, int, int] = (0, 0, 0)):
+        """Accumulate one pre-staged chunk (see ``stage_chunk``)."""
+        step, offs = self._prepare(z_offset, roi_offset)
+        dev_chunk, sin, cos, qparams = staged
+        return step(volume, dev_chunk, sin, cos, qparams, offs)
 
     def accumulate(
         self,
@@ -237,40 +308,20 @@ class DistributedReconstructor:
         z_offset: int = 0,
         roi_offset: Tuple[int, int, int] = (0, 0, 0),
     ) -> jax.Array:
+        """Stream projections through the sharded step, double-buffered:
+        chunk i+1's transfer is issued before chunk i's step dispatch."""
         C = self.chunk_size
         n = len(angles_deg)
-        rx1, ry1, rz1 = roi_offset
-        z0 = int(rz1 + z_offset)
-        vlo = self._v_band_lo(z0)
-        offs = jnp.asarray([rx1, ry1, z0, vlo], jnp.int32)
-        step = (self._step_for((z0, vlo)) if self.backend == "pallas"
-                else self._step)
+        step, offs = self._prepare(z_offset, roi_offset)
+        staged = None
         for i in range(0, n, C):
-            chunk = np.asarray(projections[i:i + C], dtype=np.float32)
-            ang = np.asarray(angles_deg[i:i + C], dtype=np.float32)
-            if chunk.shape[0] < C:
-                pad = C - chunk.shape[0]
-                chunk = np.pad(chunk, ((0, pad), (0, 0), (0, 0)))
-                ang = np.pad(ang, (0, pad))
-            phi = np.deg2rad(ang).astype(np.float32)
-            if self.accuracy == "fast" and self.backend == "pallas":
-                # affine-u16 wire staging (see pipeline.stage_chunk):
-                # halves each host's h2d bytes at ~1.5e-5-of-range error
-                lo = float(chunk.min())
-                qscale = (float(chunk.max()) - lo) / 65535.0 or 1.0
-                chunk = np.round(
-                    (chunk - lo) * (1.0 / qscale)).astype(np.uint16)
-                qparams = np.asarray([qscale, lo], np.float32)
-            else:
-                qparams = np.asarray([1.0, 0.0], np.float32)
-            volume = step(
-                volume,
-                self._put(chunk, self._proj_sharding),
-                self._put(np.sin(phi), self._ang_sharding),
-                self._put(np.cos(phi), self._ang_sharding),
-                self._put(qparams, NamedSharding(self.mesh, P())),
-                offs,
-            )
+            nxt = self.stage_chunk(projections[i:i + C],
+                                   angles_deg[i:i + C])
+            if staged is not None:
+                volume = step(volume, *staged, offs)
+            staged = nxt
+        if staged is not None:
+            volume = step(volume, *staged, offs)
         return volume
 
     def write_shards(self, volume: jax.Array, path: str, z_base: int,

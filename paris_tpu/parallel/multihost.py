@@ -6,8 +6,10 @@ single-controller-per-host SPMD:
 
   * every host calls ``initialize()`` (jax.distributed) and then builds
     the SAME global mesh over all devices;
-  * every host feeds the full projection stream (shared filesystem or a
-    local copy) — input bandwidth scales with hosts;
+  * every host walks the projection stream's headers but pixel-DECODES
+    only the frames of its own chunk shard (``ProjectionSource
+    slot_filter`` + ``read_his_selective``) — input decode bandwidth
+    scales with hosts;
   * each host materializes only ITS OWN shards of the sharded volume
     (``local_block_slices``) and writes them to the shared ddbvf at
     their global offsets via positional pwrite — no gather, no lock

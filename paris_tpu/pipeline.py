@@ -41,6 +41,58 @@ def preprocess_chunk(chunk, weights, spectrum, n_row):
     return filter_projections(chunk * weights, spectrum, n_row)
 
 
+def dequantize_chunk(chunk, qparams):
+    """Per-frame affine dequant: (C,...) x (C, 2) [scale, lo] -> f32."""
+    return (chunk.astype(jnp.float32) * qparams[:, 0, None, None]
+            + qparams[:, 1, None, None])
+
+
+def quantize_chunk_u16(chunk: np.ndarray, pad_to: int):
+    """Per-FRAME affine-u16 wire quantization of an unpadded (n, V, H)
+    chunk; returns (u16 chunk padded to ``pad_to`` frames, (pad_to, 2)
+    f32 qparams rows [scale, lo]).
+
+    Per-frame (not per-chunk) ranges keep the quantization step tied to
+    each frame's own dynamic range, and give padded tail frames
+    ``scale=0, lo=0`` so they dequantize to EXACT zeros — a per-chunk
+    range computed after zero-padding dragged ``lo`` toward 0 for
+    all-positive detector data (~3x the step) and made padded frames
+    dequantize to small nonzero planes that were then filtered and
+    backprojected at angle 0 (ADVICE r3).
+    """
+    n = chunk.shape[0]
+    lo = chunk.min(axis=(1, 2))
+    scale = (chunk.max(axis=(1, 2)) - lo) / 65535.0
+    scale[scale <= 0.0] = 1.0
+    q = np.empty((pad_to,) + chunk.shape[1:], np.uint16)
+    np.rint((chunk - lo[:, None, None]) * (1.0 / scale)[:, None, None],
+            casting="unsafe", out=q[:n])
+    q[n:] = 0
+    qparams = np.zeros((pad_to, 2), np.float32)
+    qparams[:n, 0] = scale
+    qparams[:n, 1] = lo
+    return q, qparams
+
+
+def identity_qparams(pad_to: int) -> np.ndarray:
+    """(pad_to, 2) qparams that make dequantize_chunk the identity."""
+    qp = np.zeros((pad_to, 2), np.float32)
+    qp[:, 0] = 1.0
+    return qp
+
+
+def _env_knobs() -> tuple:
+    """Snapshot of every env knob the kernel wrapper reads at TRACE
+    time (ops/backprojection_pallas.py reads these inside
+    ``backproject_chunk_pallas_yxz``).  Part of the compiled-step cache
+    key: a process that changes one of these between Reconstructor
+    builds must NOT get the stale step (ADVICE r3 medium)."""
+    return tuple(os.environ.get(k, "") for k in (
+        "PARIS_BP_XTILE", "PARIS_BP_ZTILE", "PARIS_BP_FORI",
+        "PARIS_BP_WINDOWS", "PARIS_BP_STATICWIN",
+        "PARIS_BP_DEBUG_VARIANT", "PARIS_VMEM_BUDGET"))
+
+
 def _auto_backend() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
@@ -183,9 +235,7 @@ class Reconstructor:
             # is a handful of compilations for any real run.
             cache_key = ("pallas", det, vol, self.chunk_size,
                          self.block_shape, self._vp, accuracy, window_mode,
-                         interpret, x_env := os.environ.get(
-                             "PARIS_BP_XTILE", ""), os.environ.get(
-                             "PARIS_BP_ZTILE", ""))
+                         interpret, _env_knobs())
             cached = _STEP_CACHE.get(cache_key)
             if cached is not None:
                 self._step = cached
@@ -198,9 +248,9 @@ class Reconstructor:
                                    static_argnums=(6, 7))
                 def _step(volume_yxz, chunk, sin_phi, cos_phi, qparams,
                           offs, z0s=None, vls=None):
-                    # fast mode stages affine-u16 over the wire; the
-                    # dequant fuses into the weight multiply
-                    dq = chunk.astype(jnp.float32) * qparams[0] + qparams[1]
+                    # fast mode stages per-frame affine-u16 over the
+                    # wire; the dequant fuses into the weight multiply
+                    dq = dequantize_chunk(chunk, qparams)
                     filtered = preprocess_chunk(
                         dq, weights, spectrum, det.n_row)
                     if accuracy == "fast":
@@ -237,7 +287,7 @@ class Reconstructor:
                 @functools.partial(jax.jit, donate_argnums=(0,))
                 def _step(volume, chunk, sin_phi, cos_phi, qparams, offs):
                     filtered = preprocess_chunk(
-                        chunk.astype(jnp.float32) * qparams[0] + qparams[1],
+                        dequantize_chunk(chunk, qparams),
                         weights, spectrum, det.n_row)
                     return backproject_chunk_xla(
                         volume, filtered, sin_phi, cos_phi, grid_,
@@ -298,32 +348,28 @@ class Reconstructor:
         Returns the argument pack ``step_staged`` consumes.  Issuing the
         device transfer one chunk AHEAD of the step that consumes it
         overlaps h2d with the previous step's device execution, and in
-        "fast" accuracy the chunk crosses the wire as per-chunk
+        "fast" accuracy the chunk crosses the wire as per-FRAME
         affine-quantized u16 — half the host->device bytes with
-        range/65535 absolute error (~1.5e-5 of the data range, far
-        below the 1e-3 gate; bf16 staging was tried first and FAILED
-        the 1024-class gate at 5.5e-3 — the ramp filter amplifies
-        pre-filter quantization noise, so 16 uniform bits beat 8
-        mantissa bits).  "exact" stages f32 (lossless).
+        frame_range/65535 absolute error (~1.5e-5 of the data range,
+        far below the 1e-3 gate; bf16 staging was tried first and
+        FAILED the 1024-class gate at 5.5e-3 — the ramp filter
+        amplifies pre-filter quantization noise, so 16 uniform bits
+        beat 8 mantissa bits).  "exact" stages f32 (lossless).
         """
         C = self.chunk_size
         chunk = np.asarray(chunk, dtype=np.float32)
         ang = np.asarray(ang, dtype=np.float32)
-        if chunk.shape[0] < C:
-            pad = C - chunk.shape[0]
-            chunk = np.pad(chunk, ((0, pad), (0, 0), (0, 0)))
-            ang = np.pad(ang, (0, pad))
+        if ang.shape[0] < C:
+            ang = np.pad(ang, (0, C - ang.shape[0]))
         put = (functools.partial(jax.device_put, device=self.device)
                if self.device else jax.device_put)
         if self.accuracy == "fast" and self.backend == "pallas":
-            lo = float(chunk.min())
-            scale = (float(chunk.max()) - lo) / 65535.0
-            if scale <= 0.0:
-                scale = 1.0
-            chunk = np.round((chunk - lo) * (1.0 / scale)).astype(np.uint16)
-            qparams = np.asarray([scale, lo], np.float32)
+            chunk, qparams = quantize_chunk_u16(chunk, C)
         else:
-            qparams = np.asarray([1.0, 0.0], np.float32)
+            qparams = identity_qparams(C)
+            if chunk.shape[0] < C:
+                chunk = np.pad(
+                    chunk, ((0, C - chunk.shape[0]), (0, 0), (0, 0)))
         phi = np.deg2rad(ang).astype(np.float32)
         return (put(chunk), put(np.sin(phi)), put(np.cos(phi)),
                 put(qparams))

@@ -47,6 +47,10 @@ def main() -> None:
             block_dz=cfg["block_dz"],
         )
         run_job_distributed(job)
+        # disjoint-input observability: the parent asserts each process
+        # pixel-decoded only its own chunk-shard's frames
+        from paris_tpu.io import his
+        print(f"DECODE-FRAMES={his.DECODE_STATS['frames']}", flush=True)
     elif cfg["mode"] == "pallas_shards":
         from paris_tpu.parallel import multihost
         from paris_tpu.parallel.dist import DistributedReconstructor

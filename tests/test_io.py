@@ -204,6 +204,48 @@ def test_source_chunks(tmp_path):
     assert [len(c) for c in chunks] == [5, 5, 2]
 
 
+def test_read_his_selective_decodes_only_wanted(tmp_path):
+    """read_his_selective skips the pixel decode of unwanted frames and
+    returns bit-identical data for wanted ones."""
+    from paris_tpu.io import his
+    d, frames = _write_scan(tmp_path, n_files=1, frames_per_file=6)
+    path = os.path.join(d, sorted(os.listdir(d))[0])
+    his.DECODE_STATS["frames"] = 0
+    n, got = his.read_his_selective(path, lambda j: j % 2 == 0)
+    assert n == 6
+    assert sorted(got) == [0, 2, 4]
+    assert his.DECODE_STATS["frames"] == 3
+    for j in (0, 2, 4):
+        np.testing.assert_array_equal(got[j], frames[j])
+
+
+def test_source_slot_filter_disjoint_decode(tmp_path, monkeypatch):
+    """slot_filter: unwanted stream positions arrive with data=None and
+    are never pixel-decoded; wanted ones are identical to a full read.
+    Includes quality decimation crossing file boundaries."""
+    from paris_tpu.io import his
+    monkeypatch.setenv("PARIS_IO_NO_NATIVE", "1")
+    d, frames = _write_scan(tmp_path)          # 3 files x 4 frames
+    # quality=2 keeps global indices 0,2,4,6,8,10 -> stream pos 0..5
+    chunk = 4
+    owned = {1, 3}                             # slots of "this host"
+    src = ProjectionSource(
+        d, delta_phi=1.0, quality=2, prefetch=0,
+        slot_filter=lambda pos: (pos % chunk) in owned)
+    his.DECODE_STATS["frames"] = 0
+    got = list(src)
+    assert [p.idx for p in got] == [0, 2, 4, 6, 8, 10]
+    # stream positions 1,3,5 owned (5 % 4 == 1); 0,2,4 skipped
+    assert [p.data is None for p in got] == [True, False, True, False,
+                                             True, False]
+    assert his.DECODE_STATS["frames"] == 3
+    for pos in (1, 3, 5):
+        np.testing.assert_array_equal(got[pos].data, frames[got[pos].idx])
+    # angles still assigned for undecoded frames
+    assert got[0].phi == pytest.approx(0.0)
+    assert got[2].phi == pytest.approx(4.0)
+
+
 def test_ddbvf_rejects_negative_first(tmp_path):
     """Regression: first=-1 used to pass validation and corrupt offsets."""
     p = str(tmp_path / "v.ddbvf")

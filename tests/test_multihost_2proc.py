@@ -55,6 +55,7 @@ def _spawn_workers(cfg_base, num_processes=2, timeout=300):
             f"worker {pid} failed (rc={p.returncode})\n"
             f"--- stdout ---\n{out}\n--- stderr ---\n{err[-4000:]}")
         assert "WORKER-OK" in out, f"worker {pid} did not complete: {out}"
+    return [out for out, _ in outs]
 
 
 def test_two_process_e2e_matches_single_process(tmp_path):
@@ -86,7 +87,7 @@ def test_two_process_e2e_matches_single_process(tmp_path):
         prefix="v", chunk_size=8, backend="xla", block_dz=32))
 
     out_dir = tmp_path / "mh"
-    _spawn_workers({
+    outs = _spawn_workers({
         "mode": "e2e_xla",
         "coordinator": f"127.0.0.1:{_free_port()}",
         "num_processes": 2,
@@ -107,6 +108,10 @@ def test_two_process_e2e_matches_single_process(tmp_path):
     with open(str(out_dir / "v.ddbvf.manifest.json")) as f:
         manifest = json.load(f)
     assert manifest["completed_blocks"] == [0, 1]
+    # disjoint input: each process pixel-decoded exactly its half of
+    # the stream, once (the second block reused the host-side cache)
+    decoded = [int(o.split("DECODE-FRAMES=")[1].split()[0]) for o in outs]
+    assert decoded == [n_proj // 2, n_proj // 2], decoded
 
 
 def test_two_process_pallas_yxz_shard_writes(tmp_path):
@@ -211,3 +216,14 @@ def test_cli_distributed_flags_require_distributed(capsys):
     rc = cli_main(["--geometry", "x.geo", "--coordinator", "h:1"])
     assert rc == 2
     assert "--distributed" in capsys.readouterr().err
+
+
+def test_cli_process_id_zero_requires_distributed(capsys):
+    """--process-id 0 (the most common id) must hit the same validation
+    as id 1 — the old truthiness check let 0 slip through silently."""
+    from paris_tpu.cli import main as cli_main
+    rc = cli_main(["--geometry", "x.geo", "--process-id", "0"])
+    assert rc == 2
+    assert "--distributed" in capsys.readouterr().err
+    rc = cli_main(["--geometry", "x.geo", "--num-processes", "0"])
+    assert rc == 2

@@ -330,8 +330,9 @@ def test_from_kernel_layout_host_matches_device():
 
 
 def test_stage_chunk_u16_quantization_edges():
-    """Affine-u16 staging: constant chunks (zero range) and negative
-    values round-trip within range/65535."""
+    """Per-FRAME affine-u16 staging: constant chunks (zero range),
+    negative values, per-frame ranges, and zero-dequantizing padded
+    tail frames."""
     import jax
     from paris_tpu.pipeline import Reconstructor
     det = DetectorGeometry(
@@ -346,20 +347,72 @@ def test_stage_chunk_u16_quantization_edges():
         np.float32)
     dev, _, _, q = rec.stage_chunk(chunk, np.zeros(2, np.float32))
     assert dev.dtype == jnp.uint16
-    back = np.asarray(dev, np.float32) * float(q[0]) + float(q[1])
+    q = np.asarray(q)
+    assert q.shape == (2, 2)
+    back = np.asarray(dev, np.float32) * q[:, 0, None, None] \
+        + q[:, 1, None, None]
     assert np.abs(back - chunk).max() <= (5.0 + 3.0) / 65535 * 1.01
 
     flat = np.full((2, det.n_col, det.n_row), 7.5, np.float32)
     devf, _, _, qf = rec.stage_chunk(flat, np.zeros(2, np.float32))
-    backf = np.asarray(devf, np.float32) * float(qf[0]) + float(qf[1])
+    qf = np.asarray(qf)
+    backf = np.asarray(devf, np.float32) * qf[:, 0, None, None] \
+        + qf[:, 1, None, None]
     np.testing.assert_allclose(backf, flat)
+
+    # per-frame ranges: an all-positive frame must NOT have its lo
+    # dragged to 0 by a sibling frame or padding (ADVICE r3)
+    recp = Reconstructor(det, vol, chunk_size=4, backend="pallas",
+                         interpret=True, accuracy="fast")
+    pos = rng.uniform(1000.0, 1500.0, (2, det.n_col, det.n_row)).astype(
+        np.float32)
+    devp, _, _, qp = recp.stage_chunk(pos, np.zeros(2, np.float32))
+    qp = np.asarray(qp)
+    # real frames: lo ~ each frame's own min, step ~ frame_range/65535
+    for j in range(2):
+        assert qp[j, 1] == pos[j].min()
+        assert qp[j, 0] <= (pos[j].max() - pos[j].min()) / 65535.0 * 1.01
+    # padded tail frames: scale=0, lo=0 -> dequantize to EXACT zeros
+    np.testing.assert_array_equal(qp[2:], 0.0)
+    backp = np.asarray(devp, np.float32) * qp[:, 0, None, None] \
+        + qp[:, 1, None, None]
+    np.testing.assert_array_equal(backp[2:], 0.0)
+    assert np.abs(backp[:2] - pos).max() <= 500.0 / 65535 * 1.01
 
     # exact mode stays f32 on the wire
     rece = Reconstructor(det, vol, chunk_size=2, backend="pallas",
                          interpret=True, accuracy="exact")
     deve, _, _, qe = rece.stage_chunk(chunk, np.zeros(2, np.float32))
     assert deve.dtype == jnp.float32
-    np.testing.assert_array_equal(np.asarray(qe), [1.0, 0.0])
+    np.testing.assert_array_equal(np.asarray(qe),
+                                  [[1.0, 0.0], [1.0, 0.0]])
+
+
+def test_step_cache_keys_on_env_knobs(monkeypatch):
+    """Two Reconstructors under different trace-time env knobs
+    (PARIS_BP_FORI here) must NOT share a compiled step; identical
+    envs must (regression for the r3 cache-key hole: the key omitted
+    PARIS_BP_FORI/WINDOWS/STATICWIN/DEBUG_VARIANT/VMEM_BUDGET, so
+    changing one silently reused the stale step)."""
+    from paris_tpu.pipeline import Reconstructor
+    det = DetectorGeometry(
+        n_row=96, n_col=80, l_px_row=2.0, l_px_col=2.0,
+        delta_s=0.0, delta_t=0.0, d_so=500.0, d_od=500.0, delta_phi=2.0,
+    )
+    vol = derive_volume_geometry(det)
+
+    def build():
+        return Reconstructor(det, vol, chunk_size=2, backend="pallas",
+                             interpret=True, accuracy="fast")
+
+    monkeypatch.delenv("PARIS_BP_FORI", raising=False)
+    a = build()
+    assert build()._step is a._step          # same env -> shared step
+    monkeypatch.setenv("PARIS_BP_FORI", "2")
+    b = build()
+    assert b._step is not a._step            # knob changed -> new step
+    monkeypatch.setenv("PARIS_BP_DEBUG_VARIANT", "1")
+    assert build()._step is not b._step
 
 
 def test_pallas_fori_partial_unroll_matches(monkeypatch):
