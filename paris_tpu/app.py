@@ -336,33 +336,35 @@ def _run_job(job: ReconstructionJob) -> str:
                 # explicit True always collects (dataclass contract);
                 # auto (None) collects only when a later block will
                 # reuse the cache
-                collect = cache is True or (cache is None and info.num > 1)
+                state = {"collect": cache is True
+                         or (cache is None and info.num > 1)}
                 datas, angles = [], []
-                # double-buffer ACROSS source chunks: chunk i+1's h2d is
-                # issued (stage_chunk) before chunk i's step dispatch,
-                # so the transfer overlaps device execution
-                staged = None
-                for chunk in new_source().iter_chunks(rec.chunk_size):
-                    data = np.stack([p.data for p in chunk])
-                    angs = np.asarray([p.phi for p in chunk], np.float32)
-                    nxt = rec.stage_chunk(data, angs)
-                    if staged is not None:
-                        volume = rec.step_staged(
-                            volume, staged, z_offset=block.z0,
-                            roi_offset=(rx1, ry1, rz1))
-                    staged = nxt
-                    n_proj += len(chunk)
-                    meter.add(len(chunk))
-                    if collect:
-                        datas.append(data)
-                        angles.append(angs)
-                        if sum(d.nbytes for d in datas) > job.max_cache_bytes:
-                            collect, datas, angles = False, [], []
-                if staged is not None:     # drain the double buffer
+
+                def pairs():
+                    # consumed on THIS thread by stage_stream; staging
+                    # (quantize + h2d) runs on its worker threads
+                    for plist in new_source().iter_chunks(rec.chunk_size):
+                        data = np.stack([p.data for p in plist])
+                        angs = np.asarray(
+                            [p.phi for p in plist], np.float32)
+                        if state["collect"]:
+                            datas.append(data)
+                            angles.append(angs)
+                            if sum(d.nbytes for d in datas) > \
+                                    job.max_cache_bytes:
+                                state["collect"] = False
+                                datas.clear()
+                                angles.clear()
+                        yield data, angs
+
+                from .pipeline import stage_stream
+                for staged, k in stage_stream(rec.stage_chunk, pairs()):
                     volume = rec.step_staged(
                         volume, staged, z_offset=block.z0,
                         roi_offset=(rx1, ry1, rz1))
-                if collect and datas:
+                    n_proj += k
+                    meter.add(k)
+                if state["collect"] and datas:
                     cached = (np.concatenate(datas), np.concatenate(angles))
             # close the stage only when the device has actually finished
             # (async dispatch returns early); keeps the reconstruct /

@@ -179,41 +179,42 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
                     meter.add(n_proj)
                 else:
                     # explicit True always collects (dataclass contract)
-                    collect = cache is True or (cache is None
-                                                and info.num > 1)
+                    state = {"collect": cache is True
+                             or (cache is None and info.num > 1)}
                     datas, angles = [], []
                     src = ProjectionSource(
                         job.input_path, angle_file=job.angle_path,
                         delta_phi=job.det.delta_phi, quality=job.quality,
                         slot_filter=slot_filter,
                     )
-                    # double-buffer ACROSS source chunks, as in
-                    # app.run_job: chunk i+1's h2d is issued before
-                    # chunk i's step dispatch, so every host's upload
-                    # rides the devices' execution of the previous step
-                    staged = None
-                    for plist in src.iter_chunks(chunk):
-                        data = _assemble_chunk(plist, job.det)
-                        angs = np.asarray([p.phi for p in plist], np.float32)
-                        nxt = rec.stage_chunk(data, angs)
-                        if staged is not None:
-                            volume = rec.step_staged(
-                                volume, staged, z_offset=block.z0,
-                                roi_offset=(rx1, ry1, rz1))
-                        staged = nxt
-                        n_proj += len(plist)
-                        meter.add(len(plist))
-                        if collect:
-                            datas.append(data)
-                            angles.append(angs)
-                            if sum(d.nbytes for d in datas) > \
-                                    job.max_cache_bytes:
-                                collect, datas, angles = False, [], []
-                    if staged is not None:     # drain the double buffer
+
+                    def pairs():
+                        for plist in src.iter_chunks(chunk):
+                            data = _assemble_chunk(plist, job.det)
+                            angs = np.asarray(
+                                [p.phi for p in plist], np.float32)
+                            if state["collect"]:
+                                datas.append(data)
+                                angles.append(angs)
+                                if sum(d.nbytes for d in datas) > \
+                                        job.max_cache_bytes:
+                                    state["collect"] = False
+                                    datas.clear()
+                                    angles.clear()
+                            yield data, angs
+
+                    # staging (quantize + each host's h2d) runs on
+                    # worker threads, overlapping the devices'
+                    # execution of earlier steps (pipeline.stage_stream)
+                    from ..pipeline import stage_stream
+                    for staged, k in stage_stream(rec.stage_chunk,
+                                                  pairs()):
                         volume = rec.step_staged(
                             volume, staged, z_offset=block.z0,
                             roi_offset=(rx1, ry1, rz1))
-                    if collect and datas:
+                        n_proj += k
+                        meter.add(k)
+                    if state["collect"] and datas:
                         cached = (np.concatenate(datas),
                                   np.concatenate(angles))
                 # close the stage only when the devices actually

@@ -308,19 +308,17 @@ class DistributedReconstructor:
         z_offset: int = 0,
         roi_offset: Tuple[int, int, int] = (0, 0, 0),
     ) -> jax.Array:
-        """Stream projections through the sharded step, double-buffered:
-        chunk i+1's transfer is issued before chunk i's step dispatch."""
+        """Stream projections through the sharded step, staged ahead on
+        worker threads (``pipeline.stage_stream``): each host's chunk
+        quantization and uploads overlap the devices' execution of
+        earlier steps."""
+        from ..pipeline import stage_stream
         C = self.chunk_size
         n = len(angles_deg)
         step, offs = self._prepare(z_offset, roi_offset)
-        staged = None
-        for i in range(0, n, C):
-            nxt = self.stage_chunk(projections[i:i + C],
-                                   angles_deg[i:i + C])
-            if staged is not None:
-                volume = step(volume, *staged, offs)
-            staged = nxt
-        if staged is not None:
+        pairs = ((projections[i:i + C], angles_deg[i:i + C])
+                 for i in range(0, n, C))
+        for staged, _ in stage_stream(self.stage_chunk, pairs):
             volume = step(volume, *staged, offs)
         return volume
 

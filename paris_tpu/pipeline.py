@@ -20,7 +20,10 @@ the convenience one-shot driver.
 
 from __future__ import annotations
 
+import collections
+import concurrent.futures
 import functools
+import itertools
 import os
 from typing import Iterator, Optional, Tuple
 
@@ -79,6 +82,41 @@ def identity_qparams(pad_to: int) -> np.ndarray:
     qp = np.zeros((pad_to, 2), np.float32)
     qp[:, 0] = 1.0
     return qp
+
+
+def stage_stream(stage_fn, pairs, *, depth: int = 3, workers: int = 2):
+    """Run ``stage_fn(data, angles)`` on a thread pool, keeping up to
+    ``depth`` staged chunks in flight; yields ``(staged, n)`` in order.
+
+    The round-3 streaming path staged chunks on the CONSUMER thread:
+    double buffering moved the transfer ahead of the step dispatch,
+    but host quantization and the h2d transfer of chunk i+1 still ran
+    serially between the dispatches of steps i and i+1 — at the
+    measured ~100 MB/s sustained h2d of the TPU tunnel that capped the
+    3600-projection config-3 run at 20.6 proj/s (kernel alone: 69).
+    With staging on worker threads, quantization of one chunk overlaps
+    the transfer of another (device_put releases the GIL) and the
+    consumer thread only dispatches steps.  Two workers saturate the
+    wire; ``depth`` bounds device-side buffering to ~3 chunks.
+    """
+    with concurrent.futures.ThreadPoolExecutor(
+            workers, thread_name_prefix="paris-stage") as ex:
+        pairs = iter(pairs)
+        futs: collections.deque = collections.deque()
+        try:
+            for data, ang in itertools.islice(pairs, depth):
+                futs.append((ex.submit(stage_fn, data, ang), len(ang)))
+            while futs:
+                fut, n = futs.popleft()
+                staged = fut.result()
+                nxt = next(pairs, None)
+                if nxt is not None:
+                    futs.append(
+                        (ex.submit(stage_fn, nxt[0], nxt[1]), len(nxt[1])))
+                yield staged, n
+        finally:
+            for fut, _ in futs:
+                fut.cancel()
 
 
 def _env_knobs() -> tuple:
@@ -401,18 +439,13 @@ class Reconstructor:
     ) -> jnp.ndarray:
         """Stream all projections through weight/filter/backproject.
 
-        Double-buffered: chunk i+1's host->device transfer is issued
-        before chunk i's step is dispatched, so the transfer rides the
-        device's execution of the previous step.
+        Staged ahead on worker threads (``stage_stream``): chunk
+        quantization and h2d transfers overlap each other AND the
+        device's execution of earlier steps.
         """
         offs, extra = self._offsets(z_offset, roi_offset)
-        staged = None
-        for chunk, ang in self._chunks(projections, angles_deg):
-            nxt = self.stage_chunk(chunk, ang)
-            if staged is not None:
-                volume = self._step(volume, *staged, offs, *extra)
-            staged = nxt
-        if staged is not None:
+        for staged, _ in stage_stream(
+                self.stage_chunk, self._chunks(projections, angles_deg)):
             volume = self._step(volume, *staged, offs, *extra)
         return volume
 

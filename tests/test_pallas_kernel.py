@@ -388,6 +388,39 @@ def test_stage_chunk_u16_quantization_edges():
                                   [[1.0, 0.0], [1.0, 0.0]])
 
 
+def test_stage_stream_order_counts_and_errors():
+    """stage_stream yields staged packs IN ORDER with true counts,
+    runs the stage fn on worker threads, and propagates producer
+    exceptions to the consumer."""
+    from paris_tpu.pipeline import stage_stream
+    import threading
+
+    seen_threads = set()
+
+    def stage(data, ang):
+        seen_threads.add(threading.current_thread().name)
+        return data * 2
+
+    pairs = [(np.full(3, i), list(range(i + 1))) for i in range(7)]
+    out = list(stage_stream(stage, iter(pairs), depth=3, workers=2))
+    assert [int(s[0]) for s, _ in out] == [0, 2, 4, 6, 8, 10, 12]
+    assert [n for _, n in out] == [1, 2, 3, 4, 5, 6, 7]
+    assert all(t.startswith("paris-stage") for t in seen_threads)
+
+    def bad_pairs():
+        yield pairs[0]
+        raise RuntimeError("source died")
+
+    with pytest.raises(RuntimeError, match="source died"):
+        list(stage_stream(stage, bad_pairs()))
+
+    def bad_stage(data, ang):
+        raise ValueError("stage died")
+
+    with pytest.raises(ValueError, match="stage died"):
+        list(stage_stream(bad_stage, iter(pairs)))
+
+
 def test_step_cache_keys_on_env_knobs(monkeypatch):
     """Two Reconstructors under different trace-time env knobs
     (PARIS_BP_FORI here) must NOT share a compiled step; identical
