@@ -12,14 +12,19 @@ script bounds it defensibly instead (VERDICT round 2, item 6):
 2. Combine with the measured single-chip kernel rate (BENCH round 3)
    and a stated ICI model into a projected efficiency table.
 
-ICI model (stated assumptions, not measurements): v5e publishes
-1600 Gbps (= 200 GB/s) aggregate ICI per chip; a 1-D ring all-gather
-sustains one bidirectional link pair per chip — we assume 45 GB/s
-effective per-chip throughput, i.e. each chip receives
-(N-1)/N * total_bytes at 45 GB/s, with NO compute/comms overlap
-(conservative: XLA overlaps collectives with compute when it can).
+ICI model: a 1-D ring all-gather sustains ONE link direction per chip,
+and the public "How to Scale Your Model" book (jax-ml.github.io/
+scaling-book, Part 2 "TPUs") lists the v5e one-way ICI bandwidth as
+4.5e10 bytes/s = 45 GB/s per link — that figure is the 45 GB/s used
+here.  Each chip receives (N-1)/N * total_bytes at that rate, with NO
+compute/comms overlap assumed (conservative: XLA overlaps collectives
+with compute when it can).  Because the figure is an assumption about
+hardware we cannot measure from this environment, the table is also
+computed at 15 GB/s (a 3x de-rating) and the CROSSOVER bandwidth — the
+slowest ICI for which the 32-chip efficiency still meets the 80% gate —
+is reported (VERDICT r3 weak 6).
 
-Writes benchmarks/results_round3.json (merging).
+Writes benchmarks/results_round4.json (merging).
 """
 
 from __future__ import annotations
@@ -35,7 +40,8 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
 import numpy as np  # noqa: E402
 
-ICI_GBPS = 45.0        # effective per-chip ring all-gather GB/s (stated)
+ICI_GBPS = 45.0        # v5e one-way per-link GB/s (scaling-book, Part 2)
+ICI_SENSITIVITY = (45.0, 15.0)   # stated figure + 3x de-rating
 KERNEL_GUPS = float(os.environ.get("PARIS_BENCH_KERNEL_GUPS", "72.2"))
 
 
@@ -82,6 +88,7 @@ def measured_gather_elements(banded: bool):
         backend="pallas", interpret=True, v_band_width=band,
         accuracy="fast")
     import jax.numpy as jnp
+    from paris_tpu.pipeline import identity_qparams
     vol0 = rec.init_block()
     chunk = jnp.zeros((8, det.n_col, det.n_row), jnp.float32)
     ang = jnp.zeros((8,), jnp.float32)
@@ -89,9 +96,10 @@ def measured_gather_elements(banded: bool):
     step = rec._step_for((0, 0))
     sharded = (jax.device_put(chunk, rec._proj_sharding),
                jax.device_put(ang, rec._ang_sharding),
-               jax.device_put(ang, rec._ang_sharding))
+               jax.device_put(ang, rec._ang_sharding),
+               jax.device_put(identity_qparams(8), rec._qp_sharding))
     elems = hlo_all_gather_elements(
-        lambda v, c, s, co, o: step(v, c, s, co, o),
+        lambda v, c, s, co, q, o: step(v, c, s, co, q, o),
         (vol0, *sharded, offs))
     return elems, rec._vp, det
 
@@ -129,27 +137,47 @@ def main():
     lo, hi = detector_row_band(det, vol, vol.dim_z // 2 - dz // 2, dz)
     vp_band = -(-(hi - lo) // 128) * 128
     hp = -(-det.n_row // 16) * 16
-    table = []
-    for n in (2, 4, 8, 16, 32):
-        gather_total = C * hp * vp_band * 2            # bf16 band
+    gather_total = C * hp * vp_band * 2                # bf16 band, bytes
+    block_voxels = dz * vol.dim_y * vol.dim_x
+
+    def project(n, gbps):
         recv = gather_total * (n - 1) / n
-        t_comm = recv / (ICI_GBPS * 1e9)
-        block_voxels = dz * vol.dim_y * vol.dim_x
+        t_comm = recv / (gbps * 1e9)
         t_comp = block_voxels / n * C / (KERNEL_GUPS * 1e9)
-        eff = t_comp / (t_comp + t_comm)
-        table.append({"chips": n,
-                      "gather_mb_per_step": round(gather_total / 1e6, 2),
-                      "t_comm_ms": round(t_comm * 1e3, 3),
-                      "t_comp_ms": round(t_comp * 1e3, 2),
-                      "projected_efficiency": round(eff, 4)})
+        return t_comm, t_comp, t_comp / (t_comp + t_comm)
+
+    tables = {}
+    for gbps in ICI_SENSITIVITY:
+        table = []
+        for n in (2, 4, 8, 16, 32):
+            t_comm, t_comp, eff = project(n, gbps)
+            table.append({"chips": n,
+                          "gather_mb_per_step": round(gather_total / 1e6, 2),
+                          "t_comm_ms": round(t_comm * 1e3, 3),
+                          "t_comp_ms": round(t_comp * 1e3, 2),
+                          "projected_efficiency": round(eff, 4)})
+        tables[f"{gbps:g}_gbps"] = table
+    # crossover: slowest per-chip ICI that still meets 80% at 32 chips
+    # (eff >= 0.8  <=>  t_comm <= t_comp/4  <=>  gbps >= 4*recv/t_comp)
+    n = 32
+    recv = gather_total * (n - 1) / n
+    t_comp = block_voxels / n * C / (KERNEL_GUPS * 1e9)
+    res["crossover_gbps_for_80pct_at_32_chips"] = round(
+        4.0 * recv / t_comp / 1e9, 2)
     res["vp_band"] = vp_band
-    res["projected"] = table
+    res["projected"] = tables[f"{ICI_GBPS:g}_gbps"]
+    res["projected_sensitivity"] = tables
+    res["ici_gbps_source"] = ("jax-ml.github.io/scaling-book Part 2: v5e "
+                              "one-way ICI bandwidth 4.5e10 B/s per link; "
+                              "1-D ring all-gather uses one link direction "
+                              "per chip")
     res["gate"] = ">= 0.80 projected efficiency at every mesh size"
-    res["pass"] = all(r["projected_efficiency"] >= 0.80 for r in table)
+    res["pass"] = all(r["projected_efficiency"] >= 0.80
+                      for r in res["projected"])
 
     print(json.dumps(res, indent=1), flush=True)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "results_round3.json")
+                       "results_round4.json")
     existing = []
     if os.path.exists(out):
         try:
