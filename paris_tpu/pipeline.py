@@ -122,13 +122,47 @@ def stage_stream(stage_fn, pairs, *, depth: int = 3, workers: int = 2):
 def _env_knobs() -> tuple:
     """Snapshot of every env knob the kernel wrapper reads at TRACE
     time (ops/backprojection_pallas.py reads these inside
-    ``backproject_chunk_pallas_yxz``).  Part of the compiled-step cache
-    key: a process that changes one of these between Reconstructor
-    builds must NOT get the stale step (ADVICE r3 medium)."""
+    ``backproject_chunk_pallas_yxz``) plus the compile-cache location.
+    Part of the compiled-step cache key: a process that changes one of
+    these between Reconstructor builds must NOT get the stale step
+    (ADVICE r3 medium)."""
     return tuple(os.environ.get(k, "") for k in (
         "PARIS_BP_XTILE", "PARIS_BP_ZTILE", "PARIS_BP_FORI",
         "PARIS_BP_WINDOWS", "PARIS_BP_STATICWIN",
-        "PARIS_BP_DEBUG_VARIANT", "PARIS_VMEM_BUDGET"))
+        "PARIS_BP_DEBUG_VARIANT", "PARIS_VMEM_BUDGET",
+        "PARIS_COMPILE_CACHE"))
+
+
+class _CachedStep:
+    """A jitted step + per-static-plan PERSISTENT executable cache.
+
+    Calls route to AOT-compiled executables kept in an in-memory dict
+    keyed by the static args (the pallas step's trace-time block plan
+    ``(z0s, vls)``); on a miss the on-disk cache (``compile_cache``) is
+    consulted before paying ``lower().compile()``, and a fresh compile
+    is serialized back to disk — a second PROCESS running the same
+    config starts in seconds instead of minutes (the reference binary's
+    instant start, src/main.cpp:112-178).  Shared across Reconstructor
+    instances via ``_STEP_CACHE`` exactly like the bare jitted step.
+    """
+
+    def __init__(self, jit_fn, key_parts: tuple):
+        self._jit = jit_fn
+        self._key = key_parts
+        self._execs: dict = {}
+
+    def __call__(self, volume, chunk, sin, cos, qparams, offs, *static):
+        exe = self._execs.get(static)
+        if exe is None:
+            from . import compile_cache
+            parts = (self._key, static)
+            exe = compile_cache.load(parts)
+            if exe is None:
+                exe = self._jit.lower(volume, chunk, sin, cos, qparams,
+                                      offs, *static).compile()
+                compile_cache.store(parts, exe)
+            self._execs[static] = exe
+        return exe(volume, chunk, sin, cos, qparams, offs)
 
 
 def _auto_backend() -> str:
@@ -311,10 +345,14 @@ class Reconstructor:
                         precision=jax.lax.Precision.DEFAULT,
                         window_mode=window_mode, static_plan=static_plan)
 
+                from . import compile_cache
+                if compile_cache.cache_dir():
+                    _step = _CachedStep(_step, cache_key)
                 _STEP_CACHE[cache_key] = _step
                 self._step = _step
         elif backend == "xla":
-            cache_key = ("xla", det, vol, self.chunk_size, self.block_shape)
+            cache_key = ("xla", det, vol, self.chunk_size, self.block_shape,
+                         _env_knobs())
             cached = _STEP_CACHE.get(cache_key)
             if cached is not None:
                 self._step = cached
@@ -332,6 +370,9 @@ class Reconstructor:
                         z_offset=offs[2], roi_offset=(offs[0], offs[1], 0),
                     )
 
+                from . import compile_cache
+                if compile_cache.cache_dir():
+                    _step = _CachedStep(_step, cache_key)
                 _STEP_CACHE[cache_key] = _step
                 self._step = _step
             self._state_shape = self.block_shape

@@ -1,0 +1,96 @@
+"""Persistent compiled-step cache (paris_tpu/compile_cache.py).
+
+On-chip behavior (second process loads the flagship step in seconds
+instead of a 400-700 s Mosaic compile) is measured by
+benchmarks/compile_cache_bench.py; here the plumbing is verified on
+CPU with the XLA backend, whose executables serialize too.
+"""
+
+import numpy as np
+import pytest
+
+from paris_tpu.geometry import DetectorGeometry, derive_volume_geometry
+
+
+def _setup():
+    det = DetectorGeometry(
+        n_row=64, n_col=64, l_px_row=2.0, l_px_col=2.0,
+        delta_s=0.0, delta_t=0.0, d_so=400.0, d_od=400.0, delta_phi=30.0,
+    )
+    vol = derive_volume_geometry(det)
+    rng = np.random.default_rng(11)
+    projs = rng.standard_normal((4, det.n_col, det.n_row)).astype(np.float32)
+    angles = np.arange(4, dtype=np.float32) * det.delta_phi
+    return det, vol, projs, angles
+
+
+def test_cache_dir_gating(monkeypatch):
+    from paris_tpu import compile_cache
+    monkeypatch.setenv("PARIS_COMPILE_CACHE", "0")
+    assert compile_cache.cache_dir() is None
+    monkeypatch.setenv("PARIS_COMPILE_CACHE", "/some/dir")
+    assert compile_cache.cache_dir() == "/some/dir"
+    monkeypatch.delenv("PARIS_COMPILE_CACHE")
+    # CPU default: off (compiles are cheap; TPU default is on)
+    assert compile_cache.cache_dir() is None
+
+
+def test_persistent_cache_second_build_loads_from_disk(tmp_path,
+                                                       monkeypatch):
+    """First build stores the serialized executable; a fresh build
+    (in-process step cache cleared = a new process) loads it instead of
+    compiling, and produces identical output."""
+    from paris_tpu import compile_cache, pipeline
+    monkeypatch.setenv("PARIS_COMPILE_CACHE", str(tmp_path))
+    det, vol, projs, angles = _setup()
+
+    rec = pipeline.Reconstructor(det, vol, chunk_size=2, backend="xla")
+    assert isinstance(rec._step, pipeline._CachedStep)
+    out1 = rec.run(projs, angles)
+    files = list(tmp_path.glob("*.paris-exec"))
+    assert len(files) == 1, "first run must store the compiled step"
+
+    pipeline._STEP_CACHE.clear()          # simulate a fresh process
+    hits = []
+    orig_load = compile_cache.load
+
+    def spy(parts):
+        exe = orig_load(parts)
+        hits.append(exe is not None)
+        return exe
+
+    monkeypatch.setattr(compile_cache, "load", spy)
+    rec2 = pipeline.Reconstructor(det, vol, chunk_size=2, backend="xla")
+    out2 = rec2.run(projs, angles)
+    assert hits == [True], "second build must hit the on-disk cache"
+    np.testing.assert_array_equal(out1, out2)
+
+
+def test_corrupt_cache_entry_recompiles(tmp_path, monkeypatch):
+    from paris_tpu import compile_cache, pipeline
+    monkeypatch.setenv("PARIS_COMPILE_CACHE", str(tmp_path))
+    det, vol, projs, angles = _setup()
+    rec = pipeline.Reconstructor(det, vol, chunk_size=2, backend="xla")
+    out1 = rec.run(projs, angles)
+    (entry,) = tmp_path.glob("*.paris-exec")
+    entry.write_bytes(b"not a pickle")
+    pipeline._STEP_CACHE.clear()
+    rec2 = pipeline.Reconstructor(det, vol, chunk_size=2, backend="xla")
+    out2 = rec2.run(projs, angles)       # recompiles, removes bad entry
+    np.testing.assert_allclose(out2, out1, rtol=1e-6, atol=1e-6)
+    assert len(list(tmp_path.glob("*.paris-exec"))) == 1  # rewritten
+
+
+def test_env_knob_changes_miss_the_disk_cache(tmp_path, monkeypatch):
+    """A kernel-shaping env knob is part of the disk fingerprint: a
+    changed knob must produce a SECOND cache entry, not a stale hit."""
+    from paris_tpu import pipeline
+    monkeypatch.setenv("PARIS_COMPILE_CACHE", str(tmp_path))
+    det, vol, projs, angles = _setup()
+    pipeline.Reconstructor(det, vol, chunk_size=2,
+                           backend="xla").run(projs, angles)
+    pipeline._STEP_CACHE.clear()
+    monkeypatch.setenv("PARIS_BP_FORI", "2")
+    pipeline.Reconstructor(det, vol, chunk_size=2,
+                           backend="xla").run(projs, angles)
+    assert len(list(tmp_path.glob("*.paris-exec"))) == 2
