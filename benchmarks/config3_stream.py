@@ -16,7 +16,10 @@ not a pipeline property; a PCIe-attached host moves >10 GB/s), so the
 reconstruct-phase rate is the design-relevant number and is gated at
 within 2x of the kernel-only flagship throughput.
 
-Writes benchmarks/results_round3.json (merging).
+Writes benchmarks/results_round4.json (merging).  Set
+PARIS_BENCH_CFG3_SCANDIR to a persistent directory to synthesize the
+HIS scan once and reuse it across runs (the 3600-projection synthesis
+costs ~20 min of host time on this 2-core box).
 """
 
 from __future__ import annotations
@@ -58,7 +61,7 @@ class _TimerCapture(logging.Handler):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "results_round3.json"))
+        os.path.dirname(os.path.abspath(__file__)), "results_round4.json"))
     ap.add_argument("--accuracy", default="fast", choices=["fast", "exact"])
     ap.add_argument("--size", type=int, default=1024)
     args = ap.parse_args()
@@ -83,18 +86,29 @@ def main():
            "accuracy": args.accuracy}
 
     with tempfile.TemporaryDirectory(prefix="paris_cfg3_") as workdir:
-        pdir = os.path.join(workdir, "proj")
-        os.makedirs(pdir)
+        scandir = os.environ.get("PARIS_BENCH_CFG3_SCANDIR")
+        pdir = os.path.join(scandir or workdir, "proj")
         t0 = time.perf_counter()
         all_projs = np.empty((n_proj, det.n_col, det.n_row), np.float32)
-        for i in range(0, n_proj, 8):
-            p = cone_beam_project(det, angles[i:i + 8], scale_mm=scale)
-            all_projs[i:i + len(p)] = p
-            write_his(os.path.join(pdir, f"b{i:05d}.his"), p,
-                      number_dtype=np.float32)
-        res["synthesize_seconds"] = round(time.perf_counter() - t0, 1)
-        print(f"synthesized {n_proj} projections in "
-              f"{res['synthesize_seconds']}s", flush=True)
+        if os.path.isdir(pdir) and len(os.listdir(pdir)) == -(-n_proj // 8):
+            from paris_tpu.io.his import read_his
+            for i, name in enumerate(sorted(os.listdir(pdir))):
+                fr = read_his(os.path.join(pdir, name))
+                all_projs[i * 8:i * 8 + len(fr)] = fr
+            res["synthesize_seconds"] = 0.0
+            print(f"reusing cached scan in {pdir} "
+                  f"(read back in {time.perf_counter() - t0:.0f}s)",
+                  flush=True)
+        else:
+            os.makedirs(pdir, exist_ok=True)
+            for i in range(0, n_proj, 8):
+                p = cone_beam_project(det, angles[i:i + 8], scale_mm=scale)
+                all_projs[i:i + len(p)] = p
+                write_his(os.path.join(pdir, f"b{i:05d}.his"), p,
+                          number_dtype=np.float32)
+            res["synthesize_seconds"] = round(time.perf_counter() - t0, 1)
+            print(f"synthesized {n_proj} projections in "
+                  f"{res['synthesize_seconds']}s", flush=True)
 
         cap = _TimerCapture()
         logging.getLogger("paris_tpu.app").addHandler(cap)

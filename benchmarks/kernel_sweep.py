@@ -52,10 +52,21 @@ SWEEPS = {
          {"PARIS_BENCH_CHUNK": "16", "PARIS_BENCH_BLOCK_DZ": "1024",
           "PARIS_BP_ZTILE": "1024", "PARIS_BENCH_ACCURACY": "exact"}),
     ],
+    # exact-mode variant bisection (VERDICT r4 item: where does exact's
+    # 56%-of-fast sit? variant 1 = scratch-read floor, 2 = stage 1 +
+    # overhead, 3 = stage 2 + overhead), plus fast at the same C for an
+    # apples-to-apples gap
+    "exact_bisect": [
+        (f"c16_exact_var{v}",
+         {"PARIS_BENCH_CHUNK": "16", "PARIS_BENCH_ACCURACY": "exact",
+          "PARIS_BP_DEBUG_VARIANT": str(v)}) for v in (0, 1, 2, 3)
+    ] + [
+        ("c16_fast_var0", {"PARIS_BENCH_CHUNK": "16"}),
+    ],
 }
 
 
-def run_one(name, env_over, timeout=540):
+def run_one(name, env_over, timeout=1200):
     env = dict(os.environ)
     env.update(env_over)
     try:

@@ -3,6 +3,7 @@
 set -e
 cd "$(dirname "$0")"
 g++ -O3 -march=native -std=c++17 -fPIC -shared -pthread \
+    -fno-math-errno \
     -Wall -Wextra \
     -o libparis_io.so paris_io.cpp
 echo "built $(pwd)/libparis_io.so"

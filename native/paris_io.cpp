@@ -268,6 +268,50 @@ int paris_ddbvf_write(const char* path, const float* data,
   return PARIS_IO_OK;
 }
 
+// Per-FRAME affine-u16 wire quantization of an (n_frames, frame_elems)
+// f32 chunk (the fast-mode h2d staging, pipeline.quantize_chunk_u16):
+// out[f] = rint((in[f] - lo_f) / scale_f), qparams[f] = {scale_f, lo_f}
+// with scale_f = (max_f - min_f)/65535 (1.0 for constant frames).
+// Fused min/max + transform in two passes per frame (NumPy needs ~4
+// full-array passes), threaded across frames — this runs on the
+// streaming critical path feeding the chip.
+int paris_quantize_u16(const float* in, std::int64_t n_frames,
+                       std::int64_t frame_elems, std::uint16_t* out,
+                       float* qparams) {
+  if (n_frames <= 0 || frame_elems <= 0) return PARIS_IO_ESPACE;
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if ((std::int64_t)nt > n_frames) nt = (unsigned)n_frames;
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  for (unsigned t = 0; t < nt; ++t) {
+    pool.emplace_back([=] {
+      for (std::int64_t f = t; f < n_frames; f += nt) {
+        const float* src = in + f * frame_elems;
+        float lo = src[0], hi = src[0];
+        for (std::int64_t i = 1; i < frame_elems; ++i) {
+          const float v = src[i];
+          lo = v < lo ? v : lo;
+          hi = v > hi ? v : hi;
+        }
+        float scale = (hi - lo) / 65535.0f;
+        if (!(scale > 0.0f)) scale = 1.0f;
+        const float inv = 1.0f / scale;
+        std::uint16_t* dst = out + f * frame_elems;
+        for (std::int64_t i = 0; i < frame_elems; ++i)
+          // int32 round-to-nearest-even (vectorizes to cvtps2dq; the
+          // i64 lrintf form blocks vectorization)
+          dst[i] = (std::uint16_t)(std::int32_t)__builtin_rintf(
+              (src[i] - lo) * inv);
+        qparams[2 * f] = scale;
+        qparams[2 * f + 1] = lo;
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  return PARIS_IO_OK;
+}
+
 // Read `count` slices starting at `first` into out.
 int paris_ddbvf_read(const char* path, float* out, std::uint32_t first,
                      std::uint32_t count) {

@@ -358,10 +358,19 @@ def _run_job(job: ReconstructionJob) -> str:
                         yield data, angs
 
                 from .pipeline import stage_stream
+                first_chunk = n_done == 0
                 for staged, k in stage_stream(rec.stage_chunk, pairs()):
                     volume = rec.step_staged(
                         volume, staged, z_offset=block.z0,
                         roi_offset=(rx1, ry1, rz1))
+                    if first_chunk:
+                        # time-to-first-chunk marker: a cold process
+                        # pays the step compile (or its cached load)
+                        # inside this first step
+                        jax.block_until_ready(volume)
+                        logger.info("first chunk accumulated "
+                                    "(step compile/load amortized)")
+                        first_chunk = False
                     n_proj += k
                     meter.add(k)
                 if state["collect"] and datas:

@@ -65,9 +65,15 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.paris_ddbvf_read.argtypes = [ctypes.c_char_p,
                                          ctypes.POINTER(ctypes.c_float),
                                          ctypes.c_uint32, ctypes.c_uint32]
-        for fn in ("paris_his_info", "paris_his_read", "paris_ddbvf_create",
-                   "paris_ddbvf_open", "paris_ddbvf_write",
-                   "paris_ddbvf_read"):
+        fns = ["paris_his_info", "paris_his_read", "paris_ddbvf_create",
+               "paris_ddbvf_open", "paris_ddbvf_write", "paris_ddbvf_read"]
+        if hasattr(lib, "paris_quantize_u16"):   # absent in older builds
+            lib.paris_quantize_u16.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_uint16),
+                ctypes.POINTER(ctypes.c_float)]
+            fns.append("paris_quantize_u16")
+        for fn in fns:
             getattr(lib, fn).restype = ctypes.c_int
         return lib
     return None
@@ -99,6 +105,27 @@ def his_read(path: str) -> np.ndarray:
     if rc != OK:
         raise NativeIoError(rc, path)
     return out
+
+
+def quantize_u16_available() -> bool:
+    return available() and hasattr(_lib, "paris_quantize_u16")
+
+
+def quantize_u16(chunk: np.ndarray, out: np.ndarray,
+                 qparams: np.ndarray) -> None:
+    """Per-frame affine-u16 quantization (fused native two-pass loop).
+
+    ``chunk``: (n, V, H) f32 C-contiguous; ``out``: (>=n, V, H) u16;
+    ``qparams``: (>=n, 2) f32 — rows [scale, lo] for the first n frames.
+    """
+    n = chunk.shape[0]
+    rc = _lib.paris_quantize_u16(
+        chunk.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, chunk.size // n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        qparams.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != OK:
+        raise NativeIoError(rc, "<quantize>")
 
 
 def ddbvf_create(path: str, dim_x: int, dim_y: int, dim_z: int) -> None:

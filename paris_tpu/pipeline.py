@@ -64,16 +64,23 @@ def quantize_chunk_u16(chunk: np.ndarray, pad_to: int):
     backprojected at angle 0 (ADVICE r3).
     """
     n = chunk.shape[0]
-    lo = chunk.min(axis=(1, 2))
-    scale = (chunk.max(axis=(1, 2)) - lo) / 65535.0
-    scale[scale <= 0.0] = 1.0
     q = np.empty((pad_to,) + chunk.shape[1:], np.uint16)
-    np.rint((chunk - lo[:, None, None]) * (1.0 / scale)[:, None, None],
-            casting="unsafe", out=q[:n])
-    q[n:] = 0
     qparams = np.zeros((pad_to, 2), np.float32)
-    qparams[:n, 0] = scale
-    qparams[:n, 1] = lo
+    from .io import native
+    if native.quantize_u16_available() and chunk.flags.c_contiguous:
+        # fused native two-pass loop (threaded across frames) — NumPy
+        # needs ~4 full-array passes and this feeds the chip on the
+        # streaming critical path
+        native.quantize_u16(chunk, q, qparams)
+    else:
+        lo = chunk.min(axis=(1, 2))
+        scale = (chunk.max(axis=(1, 2)) - lo) / 65535.0
+        scale[scale <= 0.0] = 1.0
+        np.rint((chunk - lo[:, None, None]) * (1.0 / scale)[:, None, None],
+                casting="unsafe", out=q[:n])
+        qparams[:n, 0] = scale
+        qparams[:n, 1] = lo
+    q[n:] = 0
     return q, qparams
 
 
