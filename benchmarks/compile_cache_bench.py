@@ -53,6 +53,8 @@ def worker(cfg: dict) -> None:
     run_job(ReconstructionJob(
         det=DetectorGeometry(**cfg["det"]), input_path=cfg["input"],
         output_path=cfg["output"], prefix=cfg["prefix"], accuracy="fast"))
+    import jax
+    marks["platform"] = jax.default_backend()
     marks["total_s"] = time.perf_counter() - t_start
     print("BENCH-RESULT " + json.dumps(marks), flush=True)
 
@@ -95,9 +97,11 @@ def main() -> None:
                   cone_beam_project(det, angles, scale_mm=scale),
                   number_dtype=np.float32)
         cache = os.path.join(workdir, "step-cache")
-        env = dict(os.environ, PARIS_COMPILE_CACHE=cache,
-                   PYTHONPATH=REPO)
-        env.pop("JAX_PLATFORMS", None)
+        # PREPEND the repo: replacing PYTHONPATH would drop site dirs
+        # (e.g. the TPU plugin's sitecustomize) and silently demote the
+        # workers to CPU
+        env = dict(os.environ, PARIS_COMPILE_CACHE=cache)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         for label in ("cold", "warm"):
             cfg = {"det": det_kw, "input": pdir,
                    "output": os.path.join(workdir, label), "prefix": label}
