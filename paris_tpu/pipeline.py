@@ -314,7 +314,8 @@ class Reconstructor:
             # is a handful of compilations for any real run.
             cache_key = ("pallas", det, vol, self.chunk_size,
                          self.block_shape, self._vp, accuracy, window_mode,
-                         interpret, _env_knobs())
+                         interpret, _env_knobs(),
+                         None if device is None else repr(device))
             cached = _STEP_CACHE.get(cache_key)
             if cached is not None:
                 self._step = cached
@@ -353,13 +354,16 @@ class Reconstructor:
                         window_mode=window_mode, static_plan=static_plan)
 
                 from . import compile_cache
-                if compile_cache.cache_dir():
+                # the loaded executable is bound to the default device;
+                # non-default placements keep the plain jit step
+                if compile_cache.cache_dir() and device is None:
                     _step = _CachedStep(_step, cache_key)
                 _STEP_CACHE[cache_key] = _step
                 self._step = _step
         elif backend == "xla":
             cache_key = ("xla", det, vol, self.chunk_size, self.block_shape,
-                         _env_knobs())
+                         _env_knobs(),
+                         None if device is None else repr(device))
             cached = _STEP_CACHE.get(cache_key)
             if cached is not None:
                 self._step = cached
@@ -378,7 +382,9 @@ class Reconstructor:
                     )
 
                 from . import compile_cache
-                if compile_cache.cache_dir():
+                # the loaded executable is bound to the default device;
+                # non-default placements keep the plain jit step
+                if compile_cache.cache_dir() and device is None:
                     _step = _CachedStep(_step, cache_key)
                 _STEP_CACHE[cache_key] = _step
                 self._step = _step
