@@ -94,3 +94,33 @@ def test_env_knob_changes_miss_the_disk_cache(tmp_path, monkeypatch):
     pipeline.Reconstructor(det, vol, chunk_size=2,
                            backend="xla").run(projs, angles)
     assert len(list(tmp_path.glob("*.paris-exec"))) == 2
+
+
+def test_run_job_with_cache_matches_without(tmp_path, monkeypatch):
+    """End-to-end run_job under the persistent cache produces the same
+    ddbvf as with the cache disabled (fresh-process load path included
+    via a cleared in-process step cache)."""
+    from paris_tpu import pipeline
+    from paris_tpu.app import ReconstructionJob, run_job
+    from paris_tpu.io import ddbvf
+    from paris_tpu.io.his import write_his
+    det, vol, projs, angles = _setup()
+    pdir = tmp_path / "proj"
+    pdir.mkdir()
+    write_his(str(pdir / "s.his"), projs, number_dtype=np.float32)
+
+    def job(out):
+        return ReconstructionJob(det=det, input_path=str(pdir),
+                                 output_path=str(tmp_path / out),
+                                 prefix="v", backend="xla")
+
+    monkeypatch.setenv("PARIS_COMPILE_CACHE", "0")
+    ref = ddbvf.read_volume(run_job(job("plain")))
+    monkeypatch.setenv("PARIS_COMPILE_CACHE", str(tmp_path / "cache"))
+    pipeline._STEP_CACHE.clear()
+    first = ddbvf.read_volume(run_job(job("cold")))     # compiles + stores
+    pipeline._STEP_CACHE.clear()
+    second = ddbvf.read_volume(run_job(job("warm")))    # loads from disk
+    np.testing.assert_allclose(first, ref, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(second, first)
+    assert list((tmp_path / "cache").glob("*.paris-exec"))
