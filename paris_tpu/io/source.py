@@ -94,9 +94,14 @@ class ProjectionSource:
 
     def _iter_frames(self) -> Iterator[Projection]:
         idx = 0
+        # the selective reader decodes ONLY wanted frames: required for
+        # disjoint multi-host reads (slot_filter) and a q-fold decode
+        # saving under quality decimation (the full reader decodes every
+        # frame of a file just to drop q-1 of q)
+        selective = self.slot_filter is not None or self.quality > 1
         for path in self.paths:
             try:
-                if self.slot_filter is None:
+                if not selective:
                     frames = read_his(path)
                     n = frames.shape[0]
                 else:
@@ -106,6 +111,8 @@ class ProjectionSource:
                         gi = idx0 + j
                         if gi % self.quality:
                             return False       # decimated away
+                        if self.slot_filter is None:
+                            return True
                         return self.slot_filter(self._kept_before(gi))
 
                     n, frames = read_his_selective(path, want)
@@ -114,8 +121,7 @@ class ProjectionSource:
                 continue
             for j in range(n):
                 if idx % self.quality == 0:
-                    frame = frames[j] if self.slot_filter is None \
-                        else frames.get(j)
+                    frame = frames[j] if not selective else frames.get(j)
                     yield Projection(
                         data=(None if frame is None else
                               np.ascontiguousarray(frame, dtype=np.float32)),
