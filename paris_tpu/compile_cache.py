@@ -76,8 +76,15 @@ def _path(d: str, parts) -> str:
     return os.path.join(d, fingerprint(parts) + _SUFFIX)
 
 
-def load(parts):
-    """Deserialized executable for ``parts``, or None (miss/disabled)."""
+def load(parts, execution_devices=None):
+    """Deserialized executable for ``parts``, or None (miss/disabled).
+
+    ``execution_devices`` must match the compiled program's device
+    count: one device for single-chip steps (the default — the
+    library's own default of client.devices() would make the loaded
+    executable expect one shard per local device), the mesh's devices
+    for sharded steps.
+    """
     d = cache_dir()
     if not d:
         return None
@@ -89,12 +96,10 @@ def load(parts):
         from jax.experimental import serialize_executable as se
         with open(path, "rb") as f:
             payload, in_tree, out_tree = pickle.load(f)
-        # single-device steps must load onto ONE device: the default
-        # (client.devices()) makes the loaded executable expect one
-        # shard per local device
         exe = se.deserialize_and_load(
             payload, in_tree, out_tree,
-            execution_devices=jax.devices()[:1])
+            execution_devices=(execution_devices if execution_devices
+                               is not None else jax.devices()[:1]))
         logger.info("compiled step loaded from cache: %s", path)
         return exe
     except Exception as e:                   # corrupt/stale/unsupported

@@ -209,7 +209,20 @@ class DistributedReconstructor:
                 # pallas_call out_shapes carry no varying-mesh-axes info
                 check_vma=False,
             )
-            return jax.jit(mapped, donate_argnums=(0,))
+            stepped = jax.jit(mapped, donate_argnums=(0,))
+            from .. import compile_cache
+            from ..pipeline import _CachedStep, _env_knobs
+            # persistent executable cache for the sharded step too
+            # (instant start on single-process meshes; multi-host
+            # loading is untested, those keep the plain jit step)
+            if compile_cache.cache_dir() and jax.process_count() == 1:
+                key = ("dist", backend, det, vol, self.chunk_size,
+                       self.block_dz, self.n_dev, accuracy, window_mode,
+                       interpret, self._vp, _env_knobs(), static_plan)
+                return _CachedStep(
+                    stepped, key,
+                    execution_devices=list(self.mesh.devices.flat))
+            return stepped
 
         self._step_for = step_for
         self._step = step_for(None)

@@ -153,9 +153,10 @@ class _CachedStep:
     instances via ``_STEP_CACHE`` exactly like the bare jitted step.
     """
 
-    def __init__(self, jit_fn, key_parts: tuple):
+    def __init__(self, jit_fn, key_parts: tuple, execution_devices=None):
         self._jit = jit_fn
         self._key = key_parts
+        self._devices = execution_devices    # None = default device
         self._execs: dict = {}
 
     def __call__(self, volume, chunk, sin, cos, qparams, offs, *static):
@@ -163,7 +164,7 @@ class _CachedStep:
         if exe is None:
             from . import compile_cache
             parts = (self._key, static)
-            exe = compile_cache.load(parts)
+            exe = compile_cache.load(parts, self._devices)
             if exe is None:
                 exe = self._jit.lower(volume, chunk, sin, cos, qparams,
                                       offs, *static).compile()

@@ -54,8 +54,8 @@ def test_persistent_cache_second_build_loads_from_disk(tmp_path,
     hits = []
     orig_load = compile_cache.load
 
-    def spy(parts):
-        exe = orig_load(parts)
+    def spy(parts, execution_devices=None):
+        exe = orig_load(parts, execution_devices)
         hits.append(exe is not None)
         return exe
 
@@ -124,3 +124,36 @@ def test_run_job_with_cache_matches_without(tmp_path, monkeypatch):
     np.testing.assert_allclose(first, ref, rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(second, first)
     assert list((tmp_path / "cache").glob("*.paris-exec"))
+
+
+def test_distributed_persistent_cache(tmp_path, monkeypatch):
+    """The sharded step also round-trips through the persistent cache
+    (single-process meshes): store on first build, disk-load on a
+    fresh build, identical output."""
+    import jax
+    from paris_tpu import compile_cache
+    from paris_tpu.parallel.dist import DistributedReconstructor
+    from paris_tpu.parallel.mesh import make_z_mesh
+    monkeypatch.setenv("PARIS_COMPILE_CACHE", str(tmp_path))
+    det, vol, projs, angles = _setup()
+    mesh = make_z_mesh()
+    dz = -(-vol.dim_z // mesh.devices.size) * mesh.devices.size
+
+    def build():
+        return DistributedReconstructor(det, vol, mesh=mesh, chunk_size=8,
+                                        block_dz=dz, backend="xla")
+
+    out1 = build().reconstruct(projs[:8], angles[:8])
+    assert list(tmp_path.glob("*.paris-exec"))
+    hits = []
+    orig_load = compile_cache.load
+
+    def spy(parts, execution_devices=None):
+        exe = orig_load(parts, execution_devices)
+        hits.append(exe is not None)
+        return exe
+
+    monkeypatch.setattr(compile_cache, "load", spy)
+    out2 = build().reconstruct(projs[:8], angles[:8])
+    assert hits == [True]
+    np.testing.assert_array_equal(out1, out2)
