@@ -136,8 +136,7 @@ def _env_knobs() -> tuple:
     return tuple(os.environ.get(k, "") for k in (
         "PARIS_BP_XTILE", "PARIS_BP_ZTILE", "PARIS_BP_FORI",
         "PARIS_BP_WINDOWS", "PARIS_BP_STATICWIN",
-        "PARIS_BP_DEBUG_VARIANT", "PARIS_VMEM_BUDGET",
-        "PARIS_COMPILE_CACHE"))
+        "PARIS_BP_DEBUG_VARIANT", "PARIS_VMEM_BUDGET"))
 
 
 class _CachedStep:
@@ -317,7 +316,13 @@ class Reconstructor:
                          self.block_shape, self._vp, accuracy, window_mode,
                          interpret, _env_knobs(),
                          None if device is None else repr(device))
-            cached = _STEP_CACHE.get(cache_key)
+            # the in-process key ALSO carries the cache-dir setting (a
+            # toggled PARIS_COMPILE_CACHE must not reuse a step wrapped
+            # for the other mode); the DISK fingerprint uses cache_key
+            # alone so entries survive relocation of the cache dir
+            from . import compile_cache
+            step_key = cache_key + (compile_cache.cache_dir(),)
+            cached = _STEP_CACHE.get(step_key)
             if cached is not None:
                 self._step = cached
             else:
@@ -354,18 +359,19 @@ class Reconstructor:
                         precision=jax.lax.Precision.DEFAULT,
                         window_mode=window_mode, static_plan=static_plan)
 
-                from . import compile_cache
                 # the loaded executable is bound to the default device;
                 # non-default placements keep the plain jit step
                 if compile_cache.cache_dir() and device is None:
                     _step = _CachedStep(_step, cache_key)
-                _STEP_CACHE[cache_key] = _step
+                _STEP_CACHE[step_key] = _step
                 self._step = _step
         elif backend == "xla":
             cache_key = ("xla", det, vol, self.chunk_size, self.block_shape,
                          _env_knobs(),
                          None if device is None else repr(device))
-            cached = _STEP_CACHE.get(cache_key)
+            from . import compile_cache
+            step_key = cache_key + (compile_cache.cache_dir(),)
+            cached = _STEP_CACHE.get(step_key)
             if cached is not None:
                 self._step = cached
             else:
@@ -382,12 +388,11 @@ class Reconstructor:
                         z_offset=offs[2], roi_offset=(offs[0], offs[1], 0),
                     )
 
-                from . import compile_cache
                 # the loaded executable is bound to the default device;
                 # non-default placements keep the plain jit step
                 if compile_cache.cache_dir() and device is None:
                     _step = _CachedStep(_step, cache_key)
-                _STEP_CACHE[cache_key] = _step
+                _STEP_CACHE[step_key] = _step
                 self._step = _step
             self._state_shape = self.block_shape
             self._vp = 0
