@@ -129,8 +129,39 @@ def store(parts, compiled) -> bool:
         os.replace(tmp, path)                # atomic vs concurrent jobs
         logger.info("compiled step stored in cache: %s (%.1f MB)",
                     path, len(payload) / 1e6)
+        _evict(d, keep=path)
         return True
     except Exception as e:     # backend without serialization support
         logger.warning("compile-cache store failed (%s: %s)",
                        type(e).__name__, e)
         return False
+
+
+def _evict(d: str, keep: str) -> None:
+    """Bound the cache to PARIS_COMPILE_CACHE_MAX_GB (default 16),
+    evicting least-recently-USED entries (``load`` touches atime via
+    read; fall back to mtime ordering).  Multi-block jobs store one
+    executable per z-block static plan (~75 MB each at 2048-class), so
+    a service rotating geometries grows the cache without a bound."""
+    try:
+        budget = float(os.environ.get("PARIS_COMPILE_CACHE_MAX_GB", "16"))
+        entries = []
+        for name in os.listdir(d):
+            if not name.endswith(_SUFFIX):
+                continue
+            p = os.path.join(d, name)
+            st = os.stat(p)
+            entries.append((max(st.st_atime, st.st_mtime), st.st_size, p))
+        total = sum(s for _, s, _ in entries)
+        if total <= budget * (1 << 30):
+            return
+        for _, size, p in sorted(entries):
+            if p == keep:
+                continue
+            os.remove(p)
+            total -= size
+            logger.info("compile-cache evicted %s", p)
+            if total <= budget * (1 << 30):
+                return
+    except OSError:
+        pass

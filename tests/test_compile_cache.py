@@ -157,3 +157,22 @@ def test_distributed_persistent_cache(tmp_path, monkeypatch):
     out2 = build().reconstruct(projs[:8], angles[:8])
     assert hits == [True]
     np.testing.assert_array_equal(out1, out2)
+
+
+def test_cache_eviction_bounds_size(tmp_path, monkeypatch):
+    """Oldest entries are evicted once the dir exceeds the budget; the
+    just-stored entry is never evicted."""
+    import os
+    import time
+    from paris_tpu import compile_cache
+    monkeypatch.setenv("PARIS_COMPILE_CACHE", str(tmp_path))
+    # ~1 MB budget; three fake 600 KB entries
+    monkeypatch.setenv("PARIS_COMPILE_CACHE_MAX_GB", str(1 / 1024))
+    for i in range(3):
+        p = tmp_path / f"entry{i}.paris-exec"
+        p.write_bytes(b"x" * (600 << 10))
+        t = time.time() - 100 + i
+        os.utime(p, (t, t))
+    compile_cache._evict(str(tmp_path), keep=str(tmp_path / "entry2.paris-exec"))
+    left = sorted(q.name for q in tmp_path.glob("*.paris-exec"))
+    assert left == ["entry2.paris-exec"], left
