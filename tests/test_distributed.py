@@ -351,3 +351,24 @@ def test_distributed_pallas_fast_u16_staging(setup):
     scale = np.abs(ref).max()
     assert np.abs(out - ref).max() / scale < 2e-2
     assert np.sqrt(np.mean((out - ref) ** 2)) / scale < 2e-3
+
+
+def test_owned_slots_partition(monkeypatch):
+    """_owned_slots: each process owns exactly the chunk slots of its
+    devices (blockwise over the mesh axis); the union over processes is
+    a disjoint cover of all slots."""
+    import types
+    from paris_tpu.parallel.app import _owned_slots
+
+    devs = np.array([types.SimpleNamespace(process_index=i // 2)
+                     for i in range(4)])       # 2 procs x 2 devices
+    mesh = types.SimpleNamespace(devices=devs)
+    C = 8
+    seen = {}
+    for pidx in (0, 1):
+        monkeypatch.setattr(jax, "process_index", lambda p=pidx: p)
+        seen[pidx] = _owned_slots(mesh, C)
+    assert seen[0] == {0, 1, 2, 3}
+    assert seen[1] == {4, 5, 6, 7}
+    assert seen[0] | seen[1] == set(range(C))
+    assert not (seen[0] & seen[1])
