@@ -137,6 +137,26 @@ def _block_hbm_bytes(vol_geo: VolumeGeometry, dz: int) -> int:
     return acc + slab
 
 
+def _overlap_block_dz(vol_geo: VolumeGeometry, hbm_budget: int,
+                      proj_buffer: int, dz_padded: int) -> Optional[int]:
+    """Largest 8-aligned extent below ``dz_padded`` for which TWO
+    padded accumulators (+ staging buffers) fit the device's free
+    memory — enables the finalize/write overlap.  None when the
+    current extent already fits (no change needed) or when nothing
+    above 128 slices does (tiny-volume 128-padding dominates)."""
+    free_est = int(hbm_budget / 0.45 * 0.95)
+
+    def fits_two(dz: int) -> bool:
+        return 2 * _block_hbm_bytes(vol_geo, dz) + proj_buffer <= free_est
+
+    if fits_two(dz_padded):
+        return None
+    dz2 = dz_padded - 8
+    while dz2 > 128 and not fits_two(dz2):
+        dz2 -= 8
+    return dz2 if dz2 > 128 else None
+
+
 def _auto_hbm_budget() -> Optional[int]:
     """Default per-device volume-block budget from live device memory.
 
@@ -252,6 +272,22 @@ def _run_job(job: ReconstructionJob) -> str:
     logger.info("z-split: %d block(s) of %d slices (padded)",
                 info.num, info.dim_z_padded)
 
+    # prefer an overlap-capable split: when the volume is multi-block
+    # ANYWAY, capping the extent so TWO padded accumulators fit lets
+    # the writer thread drain block k while k+1 reconstructs (write
+    # dominates wall on slow sinks — 2048-class: 25 min write vs 5 min
+    # reconstruct); a user-forced --block-dz is respected
+    if hbm_budget is not None and info.num > 1 and job.block_dz is None:
+        dz2 = _overlap_block_dz(vol_geo, hbm_budget, proj_buffer,
+                                info.dim_z_padded)
+        if dz2 is not None:
+            info = plan_z_blocks(
+                vol_geo, hbm_budget_bytes=hbm_budget,
+                proj_buffer_bytes=proj_buffer, block_dz=dz2)
+            logger.info(
+                "z-split adjusted for write overlap: %d block(s) "
+                "of %d slices (padded)", info.num, info.dim_z_padded)
+
     try:
         sink = VolumeSink(job.output_path, job.prefix, vol_geo.dim_x,
                           vol_geo.dim_y, vol_geo.dim_z, resume=job.resume)
@@ -309,6 +345,33 @@ def _run_job(job: ReconstructionJob) -> str:
 
     rx1, ry1, rz1 = _roi_offset(job)
     n_done = 0
+    # Overlapped finalize: block k's device->host drain + ddbvf write
+    # run on a writer thread WHILE block k+1 reconstructs — the write
+    # phase dominates wall time on slow links/disks (2048-class: 25 min
+    # write vs 5 min reconstruct) and the reference serialized it per
+    # subvolume behind a mutex (src/sink.cpp:72-94).  Requires TWO
+    # padded accumulators (+ the finalize slab) resident at once, so
+    # overlap only engages when they fit the device's free memory
+    # (hbm_budget is ~45% of free; at 2048-class two blocks do NOT fit
+    # and the writer degenerates to in-line waits).
+    import concurrent.futures as _cf
+    overlap = hbm_budget is None or (
+        2 * _block_hbm_bytes(vol_geo, info.dim_z_padded) + proj_buffer
+        <= int(hbm_budget / 0.45 * 0.95))
+    if overlap and info.num > 1:
+        logger.info("write overlap: block k+1 reconstructs while "
+                    "block k drains to disk")
+    writer = _cf.ThreadPoolExecutor(1, thread_name_prefix="paris-write")
+    pending: Optional[_cf.Future] = None
+
+    def _finalize_write(vol_state, blk):
+        with timers.time("finalize+write"):
+            out = rec.finalize(vol_state)[: blk.dim_z]
+            sink.write_block(blk.index, out, blk.z0)
+
+    # NOTE: on an exception escaping the loop the executor is dropped;
+    # its non-daemon thread finishes any in-flight write and is joined
+    # at GC/interpreter exit, so no write is ever torn mid-block.
     for block in info.blocks:
         if sink.is_done(block.index):
             logger.info("block %d already complete, skipping (resume)",
@@ -381,19 +444,27 @@ def _run_job(job: ReconstructionJob) -> str:
             jax.block_until_ready(volume)
         if n_proj == 0:
             logger.warning("no projections found in %s", job.input_path)
-        with timers.time("finalize+write"):
-            out = rec.finalize(volume)[: block.dim_z]
-            # free the device accumulator NOW: the next iteration's
-            # init_block otherwise allocates alongside it (2x block in
-            # HBM — an OOM at 2048-class, where one block is 8 GiB)
-            volume = None
-            sink.write_block(block.index, out, block.z0)
-            del out
+        if pending is not None:
+            # bound in-flight accumulators at 2 (this block's + the one
+            # draining); also surfaces writer-thread errors
+            pending.result()
+            pending = None
+        pending = writer.submit(_finalize_write, volume, block)
+        # drop the loop's reference NOW: without overlap the wait below
+        # frees the accumulator before the next init_block (a 2x-block
+        # HBM peak OOMs at 2048-class, where one block is 8 GiB)
+        volume = None
+        if not overlap:
+            pending.result()
+            pending = None
         n_done += 1
         pps, gups = meter.rates()
         logger.info("block %d done (%d projections, %.1f proj/s, %.1f Gupd/s)",
                     block.index, n_proj, pps, gups)
 
+    if pending is not None:
+        pending.result()
+    writer.shutdown()
     total = time.perf_counter() - t_start
     timers.report(logger)
     logger.info("reconstruction finished in %s -> %s",

@@ -301,3 +301,23 @@ def test_auto_hbm_budget_device_kind_fallback(monkeypatch):
 
     monkeypatch.setattr(_jax, "local_devices", lambda: [UnknownDev()])
     assert app_mod._auto_hbm_budget() is None
+
+
+def test_overlap_block_dz_2048_class():
+    """At v5e-class free memory the 2048 volume's 416-slice extent
+    (padded accumulator 8.6 GB) cannot hold two accumulators; the
+    overlap adjuster drops to the largest extent whose 128-padded pair
+    fits (384 -> two 6.7 GB accumulators), and leaves fitting extents
+    alone."""
+    from paris_tpu.app import _overlap_block_dz, _block_hbm_bytes
+    from paris_tpu.geometry import VolumeGeometry
+    vol = VolumeGeometry(dim_x=2048, dim_y=2048, dim_z=2055,
+                         l_vx_x=1.0, l_vx_y=1.0, l_vx_z=1.0)
+    budget = int(7.2 * (1 << 30))          # the v5e auto budget
+    proj = 512 << 20
+    dz2 = _overlap_block_dz(vol, budget, proj, 416)
+    assert dz2 is not None and dz2 <= 384
+    free = int(budget / 0.45 * 0.95)
+    assert 2 * _block_hbm_bytes(vol, dz2) + proj <= free
+    # an extent already fitting two accumulators is left alone
+    assert _overlap_block_dz(vol, budget, proj, 256) is None
