@@ -90,7 +90,17 @@ def main():
         pdir = os.path.join(scandir or workdir, "proj")
         t0 = time.perf_counter()
         all_projs = np.empty((n_proj, det.n_col, det.n_row), np.float32)
-        if os.path.isdir(pdir) and len(os.listdir(pdir)) == -(-n_proj // 8):
+        def _cache_matches() -> bool:
+            # count AND frame shape: a scandir synthesized at another
+            # --size must not be silently reused
+            if not (os.path.isdir(pdir)
+                    and len(os.listdir(pdir)) == -(-n_proj // 8)):
+                return False
+            from paris_tpu.io.his import read_his
+            first = read_his(os.path.join(pdir, sorted(os.listdir(pdir))[0]))
+            return first.shape[1:] == (det.n_col, det.n_row)
+
+        if _cache_matches():
             from paris_tpu.io.his import read_his
             for i, name in enumerate(sorted(os.listdir(pdir))):
                 fr = read_his(os.path.join(pdir, name))

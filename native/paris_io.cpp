@@ -275,11 +275,15 @@ int paris_ddbvf_write(const char* path, const float* data,
 // Fused min/max + transform in two passes per frame (NumPy needs ~4
 // full-array passes), threaded across frames — this runs on the
 // streaming critical path feeding the chip.
+// n_threads <= 0 selects hardware_concurrency; callers that run several
+// quantize calls concurrently (pipeline.stage_stream's worker pool)
+// pass their share to avoid oversubscribing the host.
 int paris_quantize_u16(const float* in, std::int64_t n_frames,
                        std::int64_t frame_elems, std::uint16_t* out,
-                       float* qparams) {
+                       float* qparams, int n_threads) {
   if (n_frames <= 0 || frame_elems <= 0) return PARIS_IO_ESPACE;
-  unsigned nt = std::thread::hardware_concurrency();
+  unsigned nt = n_threads > 0 ? (unsigned)n_threads
+                              : std::thread::hardware_concurrency();
   if (nt < 1) nt = 1;
   if ((std::int64_t)nt > n_frames) nt = (unsigned)n_frames;
   std::vector<std::thread> pool;
@@ -295,9 +299,17 @@ int paris_quantize_u16(const float* in, std::int64_t n_frames,
           hi = v > hi ? v : hi;
         }
         float scale = (hi - lo) / 65535.0f;
-        if (!(scale > 0.0f)) scale = 1.0f;
-        const float inv = 1.0f / scale;
         std::uint16_t* dst = out + f * frame_elems;
+        if (!(scale > 0.0f)) {
+          // constant frame (notably the zero-filled placeholder rows of
+          // other hosts' multi-host chunk shards): skip the transform
+          // pass — q=0, scale=1 dequantizes to exactly lo
+          std::memset(dst, 0, (size_t)frame_elems * sizeof(std::uint16_t));
+          qparams[2 * f] = 1.0f;
+          qparams[2 * f + 1] = lo;
+          continue;
+        }
+        const float inv = 1.0f / scale;
         for (std::int64_t i = 0; i < frame_elems; ++i)
           // int32 round-to-nearest-even (vectorizes to cvtps2dq; the
           // i64 lrintf form blocks vectorization)

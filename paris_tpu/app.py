@@ -137,17 +137,58 @@ def _block_hbm_bytes(vol_geo: VolumeGeometry, dz: int) -> int:
     return acc + slab
 
 
-def _overlap_block_dz(vol_geo: VolumeGeometry, hbm_budget: int,
+def _free_hbm_bytes() -> Optional[int]:
+    """Live free-HBM probe (bytes); None when stats are unavailable."""
+    try:
+        dev = jax.local_devices()[0]
+        stats = dev.memory_stats() or {}
+    except Exception:                     # backends without stats support
+        return None
+    limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+    if not limit:
+        return None
+    return int(limit) - int(stats.get("bytes_in_use", 0))
+
+
+def _overlap_free_est(hbm_budget: Optional[int],
+                      budget_is_auto: bool) -> Optional[int]:
+    """Free-device-memory estimate for the finalize/write overlap gate.
+
+    Prefer a live stats probe.  Without stats, ``hbm_budget/0.45`` only
+    recovers free memory when the budget came from ``_auto_hbm_budget``
+    (which returned 45% of free); a USER-supplied --hbm-budget-gb is an
+    absolute cap, so inverting it would fabricate free memory the
+    device may not have (2x-accumulator OOM) — stay within the stated
+    budget instead.  None = no information (overlap allowed)."""
+    free = _free_hbm_bytes()
+    if free is not None:
+        return int(free * 0.95)
+    if hbm_budget is None:
+        return None
+    if budget_is_auto:
+        return int(hbm_budget / 0.45 * 0.95)
+    return hbm_budget
+
+
+def _fits_two_blocks(vol_geo: VolumeGeometry, dz: int, proj_buffer: int,
+                     free_est: Optional[int]) -> bool:
+    """Do TWO padded accumulators (+ staging) fit the free estimate?
+    The single overlap-fit criterion — the planner's extent cap and the
+    runtime overlap gate must agree (same expression, one place)."""
+    if free_est is None:
+        return True
+    return 2 * _block_hbm_bytes(vol_geo, dz) + proj_buffer <= free_est
+
+
+def _overlap_block_dz(vol_geo: VolumeGeometry, free_est: Optional[int],
                       proj_buffer: int, dz_padded: int) -> Optional[int]:
     """Largest 8-aligned extent below ``dz_padded`` for which TWO
     padded accumulators (+ staging buffers) fit the device's free
     memory — enables the finalize/write overlap.  None when the
     current extent already fits (no change needed) or when nothing
     above 128 slices does (tiny-volume 128-padding dominates)."""
-    free_est = int(hbm_budget / 0.45 * 0.95)
-
     def fits_two(dz: int) -> bool:
-        return 2 * _block_hbm_bytes(vol_geo, dz) + proj_buffer <= free_est
+        return _fits_two_blocks(vol_geo, dz, proj_buffer, free_est)
 
     if fits_two(dz_padded):
         return None
@@ -277,8 +318,10 @@ def _run_job(job: ReconstructionJob) -> str:
     # the writer thread drain block k while k+1 reconstructs (write
     # dominates wall on slow sinks — 2048-class: 25 min write vs 5 min
     # reconstruct); a user-forced --block-dz is respected
-    if hbm_budget is not None and info.num > 1 and job.block_dz is None:
-        dz2 = _overlap_block_dz(vol_geo, hbm_budget, proj_buffer,
+    free_est = _overlap_free_est(hbm_budget,
+                                 budget_is_auto=job.hbm_budget_bytes is None)
+    if free_est is not None and info.num > 1 and job.block_dz is None:
+        dz2 = _overlap_block_dz(vol_geo, free_est, proj_buffer,
                                 info.dim_z_padded)
         if dz2 is not None:
             info = plan_z_blocks(
@@ -355,9 +398,8 @@ def _run_job(job: ReconstructionJob) -> str:
     # (hbm_budget is ~45% of free; at 2048-class two blocks do NOT fit
     # and the writer degenerates to in-line waits).
     import concurrent.futures as _cf
-    overlap = hbm_budget is None or (
-        2 * _block_hbm_bytes(vol_geo, info.dim_z_padded) + proj_buffer
-        <= int(hbm_budget / 0.45 * 0.95))
+    overlap = _fits_two_blocks(vol_geo, info.dim_z_padded, proj_buffer,
+                               free_est)
     if overlap and info.num > 1:
         logger.info("write overlap: block k+1 reconstructs while "
                     "block k drains to disk")

@@ -96,10 +96,16 @@ def load(parts, execution_devices=None):
         from jax.experimental import serialize_executable as se
         with open(path, "rb") as f:
             payload, in_tree, out_tree = pickle.load(f)
+        if execution_devices is None:
+            # bind to the process's DEFAULT device (jax_default_device
+            # honored), matching where the plain jitted step would run
+            # — not unconditionally devices()[0]
+            default = jax.config.jax_default_device
+            execution_devices = [default if default is not None
+                                 else jax.devices()[0]]
         exe = se.deserialize_and_load(
             payload, in_tree, out_tree,
-            execution_devices=(execution_devices if execution_devices
-                               is not None else jax.devices()[:1]))
+            execution_devices=execution_devices)
         logger.info("compiled step loaded from cache: %s", path)
         return exe
     except Exception as e:                   # corrupt/stale/unsupported
@@ -142,9 +148,17 @@ def _evict(d: str, keep: str) -> None:
     evicting least-recently-USED entries (``load`` touches atime via
     read; fall back to mtime ordering).  Multi-block jobs store one
     executable per z-block static plan (~75 MB each at 2048-class), so
-    a service rotating geometries grows the cache without a bound."""
+    a service rotating geometries grows the cache without a bound.
+    Never raises: a failed eviction must not turn a SUCCESSFUL store
+    into a reported failure (store()'s except would misreport it)."""
     try:
-        budget = float(os.environ.get("PARIS_COMPILE_CACHE_MAX_GB", "16"))
+        raw = os.environ.get("PARIS_COMPILE_CACHE_MAX_GB", "16")
+        try:
+            budget = float(raw)
+        except ValueError:
+            logger.warning("ignoring malformed PARIS_COMPILE_CACHE_MAX_GB"
+                           "=%r (using 16)", raw)
+            budget = 16.0
         entries = []
         for name in os.listdir(d):
             if not name.endswith(_SUFFIX):
@@ -163,5 +177,5 @@ def _evict(d: str, keep: str) -> None:
             logger.info("compile-cache evicted %s", p)
             if total <= budget * (1 << 30):
                 return
-    except OSError:
-        pass
+    except Exception:
+        logger.warning("compile-cache eviction failed", exc_info=True)

@@ -71,7 +71,7 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.paris_quantize_u16.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_uint16),
-                ctypes.POINTER(ctypes.c_float)]
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int]
             fns.append("paris_quantize_u16")
         for fn in fns:
             getattr(lib, fn).restype = ctypes.c_int
@@ -112,18 +112,21 @@ def quantize_u16_available() -> bool:
 
 
 def quantize_u16(chunk: np.ndarray, out: np.ndarray,
-                 qparams: np.ndarray) -> None:
+                 qparams: np.ndarray, n_threads: int = 0) -> None:
     """Per-frame affine-u16 quantization (fused native two-pass loop).
 
     ``chunk``: (n, V, H) f32 C-contiguous; ``out``: (>=n, V, H) u16;
     ``qparams``: (>=n, 2) f32 — rows [scale, lo] for the first n frames.
+    ``n_threads``: 0 = one per hardware thread; callers running several
+    quantize calls concurrently (``pipeline.stage_stream``'s worker
+    pool) pass their per-call share to avoid oversubscription.
     """
     n = chunk.shape[0]
     rc = _lib.paris_quantize_u16(
         chunk.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         n, chunk.size // n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-        qparams.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        qparams.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads)
     if rc != OK:
         raise NativeIoError(rc, "<quantize>")
 

@@ -97,8 +97,15 @@ class ProjectionSource:
         # the selective reader decodes ONLY wanted frames: required for
         # disjoint multi-host reads (slot_filter) and a q-fold decode
         # saving under quality decimation (the full reader decodes every
-        # frame of a file just to drop q-1 of q)
-        selective = self.slot_filter is not None or self.quality > 1
+        # frame of a file just to drop q-1 of q).  It is single-threaded
+        # Python, though, so with the THREADED native decoder available
+        # it only wins when decimation skips most frames — keep native
+        # full-decode for small q (measured crossover ~q=4 on few-core
+        # hosts; decoding 1/2 the frames at ~1/3 the rate loses)
+        from .native import available as _native_available
+        selective = self.slot_filter is not None or (
+            self.quality > 1
+            and (self.quality >= 4 or not _native_available()))
         for path in self.paths:
             try:
                 if not selective:

@@ -70,8 +70,10 @@ def quantize_chunk_u16(chunk: np.ndarray, pad_to: int):
     if native.quantize_u16_available() and chunk.flags.c_contiguous:
         # fused native two-pass loop (threaded across frames) — NumPy
         # needs ~4 full-array passes and this feeds the chip on the
-        # streaming critical path
-        native.quantize_u16(chunk, q, qparams)
+        # streaming critical path.  Thread share: stage_stream runs
+        # _STAGE_WORKERS of these concurrently.
+        native.quantize_u16(chunk, q, qparams, n_threads=max(
+            1, (os.cpu_count() or 1) // _STAGE_WORKERS))
     else:
         lo = chunk.min(axis=(1, 2))
         scale = (chunk.max(axis=(1, 2)) - lo) / 65535.0
@@ -91,7 +93,14 @@ def identity_qparams(pad_to: int) -> np.ndarray:
     return qp
 
 
-def stage_stream(stage_fn, pairs, *, depth: int = 3, workers: int = 2):
+# concurrent staging workers (stage_stream default); the native
+# quantizer divides its thread budget by this so two in-flight chunk
+# quantizations don't oversubscribe the host
+_STAGE_WORKERS = 2
+
+
+def stage_stream(stage_fn, pairs, *, depth: int = 3,
+                 workers: int = _STAGE_WORKERS):
     """Run ``stage_fn(data, angles)`` on a thread pool, keeping up to
     ``depth`` staged chunks in flight; yields ``(staged, n)`` in order.
 

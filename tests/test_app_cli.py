@@ -314,10 +314,30 @@ def test_overlap_block_dz_2048_class():
     vol = VolumeGeometry(dim_x=2048, dim_y=2048, dim_z=2055,
                          l_vx_x=1.0, l_vx_y=1.0, l_vx_z=1.0)
     budget = int(7.2 * (1 << 30))          # the v5e auto budget
+    free = int(budget / 0.45 * 0.95)       # what the auto budget implies
     proj = 512 << 20
-    dz2 = _overlap_block_dz(vol, budget, proj, 416)
+    dz2 = _overlap_block_dz(vol, free, proj, 416)
     assert dz2 is not None and dz2 <= 384
-    free = int(budget / 0.45 * 0.95)
     assert 2 * _block_hbm_bytes(vol, dz2) + proj <= free
     # an extent already fitting two accumulators is left alone
-    assert _overlap_block_dz(vol, budget, proj, 256) is None
+    assert _overlap_block_dz(vol, free, proj, 256) is None
+
+
+def test_overlap_free_est_user_budget_not_inverted(monkeypatch):
+    """A USER-supplied --hbm-budget-gb is an absolute cap: without live
+    memory stats the overlap gate must stay within it, NOT invert it
+    through the auto 45%-of-free formula (that fabricated ~2x the
+    device's memory and let the two-accumulator overlap OOM)."""
+    import paris_tpu.app as app
+    monkeypatch.setattr(app, "_free_hbm_bytes", lambda: None)
+    budget = 14 << 30
+    assert app._overlap_free_est(budget, budget_is_auto=False) == budget
+    # the auto budget (45% of free) is legitimately invertible
+    auto = app._overlap_free_est(budget, budget_is_auto=True)
+    assert auto == int(budget / 0.45 * 0.95)
+    # no budget info at all -> no constraint (overlap allowed)
+    assert app._overlap_free_est(None, budget_is_auto=True) is None
+    # live stats win over any inversion
+    monkeypatch.setattr(app, "_free_hbm_bytes", lambda: 10 << 30)
+    assert app._overlap_free_est(budget, budget_is_auto=False) == \
+        int((10 << 30) * 0.95)

@@ -176,3 +176,16 @@ def test_cache_eviction_bounds_size(tmp_path, monkeypatch):
     compile_cache._evict(str(tmp_path), keep=str(tmp_path / "entry2.paris-exec"))
     left = sorted(q.name for q in tmp_path.glob("*.paris-exec"))
     assert left == ["entry2.paris-exec"], left
+
+
+def test_eviction_survives_malformed_budget_env(tmp_path, monkeypatch):
+    """A malformed PARIS_COMPILE_CACHE_MAX_GB must not raise out of
+    _evict: it propagated into store()'s except, which misreported a
+    SUCCESSFUL store as 'compile-cache store failed' (and the bound was
+    never enforced).  Falls back to the 16 GB default instead."""
+    from paris_tpu import compile_cache
+    monkeypatch.setenv("PARIS_COMPILE_CACHE_MAX_GB", "16GB")
+    p = tmp_path / "entry.paris-exec"
+    p.write_bytes(b"x" * 1024)
+    compile_cache._evict(str(tmp_path), keep=str(p))   # must not raise
+    assert p.exists()                                  # within 16 GB default

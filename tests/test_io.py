@@ -179,6 +179,32 @@ def test_source_quality_decimation(tmp_path):
     np.testing.assert_array_equal(got[1].data, frames[3])
 
 
+def test_source_decode_strategy_crossover(tmp_path, monkeypatch):
+    """Decoder selection: small quality factors keep the THREADED native
+    full-decode (decoding 1/2 the frames single-threaded loses); large
+    factors (>= 4) or a missing native lib switch to the selective
+    reader, which skips unwanted frames' pixel decode entirely."""
+    from paris_tpu.io import his, native
+    d, frames = _write_scan(tmp_path)          # 3 files x 4 frames
+    if native.available():
+        his.DECODE_STATS["frames"] = 0
+        got = list(ProjectionSource(d, delta_phi=1.0, quality=2,
+                                    prefetch=0))
+        assert his.DECODE_STATS["frames"] == 12      # native full decode
+        assert [p.idx for p in got] == [0, 2, 4, 6, 8, 10]
+    his.DECODE_STATS["frames"] = 0
+    got = list(ProjectionSource(d, delta_phi=1.0, quality=4, prefetch=0))
+    assert his.DECODE_STATS["frames"] == 3           # selective: kept only
+    assert [p.idx for p in got] == [0, 4, 8]
+    np.testing.assert_array_equal(got[1].data, frames[4])
+    # without the native decoder, selective wins at any q > 1
+    monkeypatch.setenv("PARIS_IO_NO_NATIVE", "1")
+    his.DECODE_STATS["frames"] = 0
+    got = list(ProjectionSource(d, delta_phi=1.0, quality=2, prefetch=0))
+    assert his.DECODE_STATS["frames"] == 6
+    assert [p.idx for p in got] == [0, 2, 4, 6, 8, 10]
+
+
 def test_source_skips_invalid_files(tmp_path, caplog):
     d, frames = _write_scan(tmp_path)
     with open(os.path.join(d, "aaa_junk.his"), "wb") as f:
