@@ -89,6 +89,7 @@ class DistributedReconstructor:
             )
         dz = block_dz if block_dz is not None else vol.dim_z
         self.block_dz = dz
+        self._owned_ranges = self._chunk_owned_ranges()
 
         self.grid = make_bp_grid(det, vol)
         self._weights = weight_map(det)
@@ -253,6 +254,28 @@ class DistributedReconstructor:
             functools.partial(jnp.zeros, self._state_shape, jnp.float32),
             out_shardings=self._vol_sharding)()
 
+    def _chunk_owned_ranges(self):
+        """Contiguous [lo, hi) chunk-slot ranges owned by THIS process.
+
+        The chunk axis is sharded blockwise over the mesh: device k owns
+        slots [k*C/n, (k+1)*C/n).  Adjacent owned ranges are merged, so
+        a single-process mesh collapses to [(0, C)].  Used to quantize
+        and stage ONLY the frames this host's devices will upload
+        (non-owned rows of a multi-host chunk are zero placeholders
+        that ``_put`` never reads)."""
+        local = self.chunk_size // self.n_dev
+        pidx = jax.process_index()
+        ranges = []
+        for k, dev in enumerate(self.mesh.devices.flat):
+            if dev.process_index != pidx:
+                continue
+            lo, hi = k * local, (k + 1) * local
+            if ranges and ranges[-1][1] == lo:
+                ranges[-1] = (ranges[-1][0], hi)
+            else:
+                ranges.append((lo, hi))
+        return ranges
+
     def _put(self, data: np.ndarray, sharding) -> jax.Array:
         """Host array -> globally sharded device array (multi-host safe).
 
@@ -285,7 +308,9 @@ class DistributedReconstructor:
         its pipelined loader stage + per-thread streams,
         src/loader.cpp:28-33).  Fast mode stages per-frame affine-u16
         — half the wire bytes; non-owned frame rows of a multi-host
-        chunk are never read (``_put`` only pulls addressable shards).
+        chunk are never read (``_put`` only pulls addressable shards),
+        so quantization too runs only over THIS host's owned slot
+        ranges — host staging CPU scales with 1/hosts, like the decode.
         """
         C = self.chunk_size
         chunk = np.asarray(chunk, dtype=np.float32)
@@ -293,7 +318,21 @@ class DistributedReconstructor:
         if ang.shape[0] < C:
             ang = np.pad(ang, (0, C - ang.shape[0]))
         if self.accuracy == "fast" and self.backend == "pallas":
-            chunk, qparams = quantize_chunk_u16(chunk, C)
+            if len(self._owned_ranges) == 1 and \
+                    self._owned_ranges[0] == (0, C):
+                chunk, qparams = quantize_chunk_u16(chunk, C)
+            else:
+                n = chunk.shape[0]
+                q = np.zeros((C,) + chunk.shape[1:], np.uint16)
+                qparams = np.zeros((C, 2), np.float32)
+                for lo, hi in self._owned_ranges:
+                    if min(hi, n) > lo:
+                        sq, sp = quantize_chunk_u16(
+                            np.ascontiguousarray(chunk[lo:min(hi, n)]),
+                            hi - lo)
+                        q[lo:hi] = sq
+                        qparams[lo:hi] = sp
+                chunk = q
         else:
             qparams = identity_qparams(C)
             if chunk.shape[0] < C:

@@ -372,3 +372,46 @@ def test_owned_slots_partition(monkeypatch):
     assert seen[1] == {4, 5, 6, 7}
     assert seen[0] | seen[1] == set(range(C))
     assert not (seen[0] & seen[1])
+
+
+def test_chunk_owned_ranges_and_partial_staging(monkeypatch):
+    """_chunk_owned_ranges merges adjacent owned slot blocks (a single
+    process collapses to [(0, C)]); stage_chunk quantizes ONLY the
+    owned ranges — non-owned rows stay zero with zero qparams (never
+    uploaded: _put reads addressable shards only) and owned rows are
+    bit-identical to a full-chunk quantization."""
+    import types
+    from paris_tpu.geometry import DetectorGeometry, derive_volume_geometry
+    from paris_tpu.parallel.dist import DistributedReconstructor
+    from paris_tpu.parallel.mesh import make_z_mesh
+    from paris_tpu.pipeline import quantize_chunk_u16
+
+    # merge logic on a fake 2-proc mesh
+    devs = np.array([types.SimpleNamespace(process_index=i // 2)
+                     for i in range(4)])       # 2 procs x 2 devices
+    fake = types.SimpleNamespace(
+        mesh=types.SimpleNamespace(devices=devs), n_dev=4, chunk_size=8)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    assert DistributedReconstructor._chunk_owned_ranges(fake) == [(4, 8)]
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    assert DistributedReconstructor._chunk_owned_ranges(fake) == [(0, 4)]
+
+    det = DetectorGeometry(64, 64, 2.0, 2.0, 0.0, 0.0, 500.0, 500.0, 45.0)
+    vol = derive_volume_geometry(det)
+    rec = DistributedReconstructor(
+        det, vol, mesh=make_z_mesh(jax.devices()[:8]), chunk_size=8,
+        block_dz=vol.dim_z, backend="pallas", interpret=True,
+        accuracy="fast")
+    assert rec._owned_ranges == [(0, 8)]       # single process: merged
+    rng = np.random.default_rng(3)
+    data = rng.uniform(-5, 900, (5, 64, 64)).astype(np.float32)
+    angs = np.arange(5, dtype=np.float32) * 45.0
+    rec._owned_ranges = [(2, 4), (6, 8)]       # simulate a pod host
+    q = np.asarray(jax.device_get(rec.stage_chunk(data, angs)[0]))
+    qp = np.asarray(jax.device_get(rec.stage_chunk(data, angs)[3]))
+    full_q, full_p = quantize_chunk_u16(data, 8)
+    np.testing.assert_array_equal(q[2:4], full_q[2:4])
+    np.testing.assert_array_equal(qp[2:4], full_p[2:4])
+    for rows in (q[:2], q[4:6], q[6:]):        # (6,8) starts past n=5
+        np.testing.assert_array_equal(rows, 0)
+    np.testing.assert_array_equal(qp[4:], 0.0)
