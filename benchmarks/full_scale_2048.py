@@ -105,9 +105,12 @@ def main():
     )
 
     # replicate run_job's planning to locate the first block seam (the
-    # job itself plans identically; asserting >1 block is part of the gate)
+    # job itself plans identically; asserting >1 block is part of the
+    # gate) — INCLUDING the finalize/write-overlap extent adjustment
+    # (app.py), else the "seam" slab lands in a block interior
     from paris_tpu.geometry import plan_z_blocks
     from paris_tpu.app import (_auto_hbm_budget, _budget_max_dz,
+                               _overlap_block_dz, _overlap_free_est,
                                _perf_block_dz)
     budget = _auto_hbm_budget()
     res["auto_hbm_budget_gb"] = round(budget / 2**30, 2) if budget else None
@@ -117,6 +120,15 @@ def main():
         block_dz = min(block_dz, _budget_max_dz(budget, proj_buffer, vol))
     info = plan_z_blocks(vol, hbm_budget_bytes=budget,
                          proj_buffer_bytes=proj_buffer, block_dz=block_dz)
+    if os.environ.get("PARIS_WRITE_OVERLAP", "1") != "0" and info.num > 1:
+        free_est = _overlap_free_est(budget, budget_is_auto=True)
+        if free_est is not None:
+            dz2 = _overlap_block_dz(vol, free_est, proj_buffer,
+                                    info.dim_z_padded)
+            if dz2 is not None:
+                info = plan_z_blocks(vol, hbm_budget_bytes=budget,
+                                     proj_buffer_bytes=proj_buffer,
+                                     block_dz=dz2)
     res["planned_blocks"] = info.num
     print(f"planned {info.num} blocks of {info.dim_z_padded}", flush=True)
 

@@ -318,9 +318,18 @@ def _run_job(job: ReconstructionJob) -> str:
     # the writer thread drain block k while k+1 reconstructs (write
     # dominates wall on slow sinks — 2048-class: 25 min write vs 5 min
     # reconstruct); a user-forced --block-dz is respected
+    # PARIS_WRITE_OVERLAP=0 disables the finalize/write overlap (and the
+    # extent adjustment that serves it).  Default ON: on hosts with
+    # dedicated DMA + a disk sink, hiding compute behind the write wall
+    # is free.  Measured caveat (BASELINE.md): on transports where d2h
+    # and h2d share one link (e.g. a tunneled TPU at ~100 MB/s), the
+    # overlapped streams contend and the serialized order can win.
+    import os as _os
+    overlap_enabled = _os.environ.get("PARIS_WRITE_OVERLAP", "1") != "0"
     free_est = _overlap_free_est(hbm_budget,
                                  budget_is_auto=job.hbm_budget_bytes is None)
-    if free_est is not None and info.num > 1 and job.block_dz is None:
+    if overlap_enabled and free_est is not None and info.num > 1 \
+            and job.block_dz is None:
         dz2 = _overlap_block_dz(vol_geo, free_est, proj_buffer,
                                 info.dim_z_padded)
         if dz2 is not None:
@@ -398,8 +407,8 @@ def _run_job(job: ReconstructionJob) -> str:
     # (hbm_budget is ~45% of free; at 2048-class two blocks do NOT fit
     # and the writer degenerates to in-line waits).
     import concurrent.futures as _cf
-    overlap = _fits_two_blocks(vol_geo, info.dim_z_padded, proj_buffer,
-                               free_est)
+    overlap = overlap_enabled and _fits_two_blocks(
+        vol_geo, info.dim_z_padded, proj_buffer, free_est)
     if overlap and info.num > 1:
         logger.info("write overlap: block k+1 reconstructs while "
                     "block k drains to disk")
