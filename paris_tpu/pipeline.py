@@ -241,8 +241,27 @@ def _scratch_rows(accuracy: str) -> int:
 # process (warmup + timed run, multi-job services, the CLI called as a
 # library) compile ONCE.  Remote-compile latency through a TPU tunnel
 # was measured at 37-424 s for the 1024-class step — without this cache
-# every run_job paid it again.
-_STEP_CACHE: dict = {}
+# every run_job paid it again.  LRU-bounded (PARIS_STEP_CACHE_MAX
+# entries, default 64): a long-lived service rotating geometries must
+# not accumulate compiled executables (~75 MB each at 2048-class)
+# without limit; live Reconstructors keep their own reference, so
+# eviction only drops the shared handle.
+_STEP_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+
+
+def _step_cache_put(key, step):
+    _STEP_CACHE[key] = step
+    _STEP_CACHE.move_to_end(key)
+    limit = int(os.environ.get("PARIS_STEP_CACHE_MAX", "64"))
+    while len(_STEP_CACHE) > max(1, limit):
+        _STEP_CACHE.popitem(last=False)
+
+
+def _step_cache_get(key):
+    step = _STEP_CACHE.get(key)
+    if step is not None:
+        _STEP_CACHE.move_to_end(key)
+    return step
 
 
 class Reconstructor:
@@ -331,7 +350,7 @@ class Reconstructor:
             # alone so entries survive relocation of the cache dir
             from . import compile_cache
             step_key = cache_key + (compile_cache.cache_dir(),)
-            cached = _STEP_CACHE.get(step_key)
+            cached = _step_cache_get(step_key)
             if cached is not None:
                 self._step = cached
             else:
@@ -372,7 +391,7 @@ class Reconstructor:
                 # non-default placements keep the plain jit step
                 if compile_cache.cache_dir() and device is None:
                     _step = _CachedStep(_step, cache_key)
-                _STEP_CACHE[step_key] = _step
+                _step_cache_put(step_key, _step)
                 self._step = _step
         elif backend == "xla":
             cache_key = ("xla", det, vol, self.chunk_size, self.block_shape,
@@ -380,7 +399,7 @@ class Reconstructor:
                          None if device is None else repr(device))
             from . import compile_cache
             step_key = cache_key + (compile_cache.cache_dir(),)
-            cached = _STEP_CACHE.get(step_key)
+            cached = _step_cache_get(step_key)
             if cached is not None:
                 self._step = cached
             else:
@@ -401,7 +420,7 @@ class Reconstructor:
                 # non-default placements keep the plain jit step
                 if compile_cache.cache_dir() and device is None:
                     _step = _CachedStep(_step, cache_key)
-                _STEP_CACHE[step_key] = _step
+                _step_cache_put(step_key, _step)
                 self._step = _step
             self._state_shape = self.block_shape
             self._vp = 0

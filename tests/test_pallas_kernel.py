@@ -481,3 +481,21 @@ def test_pallas_fori_partial_unroll_matches(monkeypatch):
         monkeypatch.setenv("PARIS_BP_FORI", n)
         np.testing.assert_allclose(run(), ref, rtol=1e-6, atol=1e-6,
                                    err_msg=f"fori={n}")
+
+
+def test_step_cache_lru_bound(monkeypatch):
+    """The in-process compiled-step cache is LRU-bounded
+    (PARIS_STEP_CACHE_MAX): a service rotating geometries must not
+    accumulate ~75 MB executables without limit; recently-touched keys
+    survive eviction."""
+    from paris_tpu import pipeline
+
+    monkeypatch.setattr(pipeline, "_STEP_CACHE", __import__(
+        "collections").OrderedDict())
+    monkeypatch.setenv("PARIS_STEP_CACHE_MAX", "3")
+    for i in range(3):
+        pipeline._step_cache_put(("k", i), f"step{i}")
+    assert pipeline._step_cache_get(("k", 0)) == "step0"   # refresh k0
+    pipeline._step_cache_put(("k", 3), "step3")            # evicts k1 (LRU)
+    assert set(pipeline._STEP_CACHE) == {("k", 0), ("k", 2), ("k", 3)}
+    assert pipeline._step_cache_get(("k", 1)) is None
