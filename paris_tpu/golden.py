@@ -18,7 +18,8 @@ import numpy as np
 
 from .geometry import DetectorGeometry, VolumeGeometry, filter_size_for
 
-__all__ = ["golden_weight", "golden_filter", "golden_backproject", "golden_fdk"]
+__all__ = ["golden_weight", "golden_filter", "golden_backproject",
+           "golden_fdk", "golden_fdk_stream"]
 
 
 def golden_weight(proj: np.ndarray, det: DetectorGeometry) -> np.ndarray:
@@ -135,3 +136,91 @@ def golden_fdk(
         wf = golden_filter(golden_weight(p, det), det)
         out = golden_backproject(out, wf, phi, det, vol, z_offset, roi_offset)
     return out
+
+
+def golden_fdk_stream(
+    pairs,                          # iterable of (proj (n_col,n_row), phi_deg)
+    det: DetectorGeometry,
+    vol: VolumeGeometry,
+    slabs,                          # [(z_offset, dz), ...] — slabs to build
+    roi_offset=(0, 0, 0),
+    dtype=np.float64,
+) -> list:
+    """Streaming multi-slab golden FDK: ONE pass over the projections,
+    the weight+filter computed once per projection, every requested
+    z-slab accumulated together.  Returns ``[ (dz, ny, nx) f32, ...]``.
+
+    Built for full-scale gating (BASELINE config 5: 2048-class, 3600
+    projections) where ``golden_fdk`` per slab is prohibitive: the
+    per-projection maps (s, t, factor, u2, h and the h-interpolation
+    indices) are z-independent, so they are computed once per
+    projection instead of once per (slab, projection); gathers use
+    flat indexing into the projection; and ``dtype=np.float32`` runs
+    the hot path in f32 (validated against the f64 oracle to <1e-5
+    relative in tests/test_golden_fdk_e2e.py — far under the 1e-3
+    reconstruction gates).  Results match ``golden_fdk`` (same math,
+    same border-zero bilinear; reference src/openmp/backprojection.cpp:
+    52-152) to accumulation-order rounding.
+    """
+    dtype = np.dtype(dtype)
+    ny, nx = vol.dim_y, vol.dim_x
+    n_col, n_row = det.n_col, det.n_row
+    rx1, ry1, rz1 = roi_offset
+
+    d_so, d_sd = det.d_so, det.d_sd
+    delta_s_mm = det.delta_s * det.l_px_row
+    delta_t_mm = det.delta_t * det.l_px_col
+    h_min = -(n_row * det.l_px_row) / 2.0 - delta_s_mm
+    v_min = -(n_col * det.l_px_col) / 2.0 - delta_t_mm
+
+    def centered(idx, dim, size):
+        return -(dim * size) / 2.0 + size / 2.0 + idx * size
+
+    xs = centered(np.arange(nx, dtype=np.float64) + rx1, vol.dim_x,
+                  vol.l_vx_x).astype(dtype)
+    ys = centered(np.arange(ny, dtype=np.float64) + ry1, vol.dim_y,
+                  vol.l_vx_y).astype(dtype)
+    slab_zs = [
+        centered(np.arange(dz, dtype=np.float64) + rz1 + z0, vol.dim_z,
+                 vol.l_vx_z).astype(dtype)
+        for z0, dz in slabs
+    ]
+    outs = [np.zeros((len(zs), ny, nx), np.float64) for zs in slab_zs]
+
+    inv_lr = dtype.type(1.0 / det.l_px_row)
+    inv_lc = dtype.type(1.0 / det.l_px_col)
+    for p, phi_deg in pairs:
+        phi = np.deg2rad(float(phi_deg))
+        sin, cos = dtype.type(np.sin(phi)), dtype.type(np.cos(phi))
+        wf = golden_filter(golden_weight(p, det), det).astype(dtype)
+        pf = np.ascontiguousarray(wf).ravel()
+
+        s = xs[None, :] * cos + ys[:, None] * sin            # (ny, nx)
+        t = -xs[None, :] * sin + ys[:, None] * cos
+        factor = dtype.type(d_sd) / (s + dtype.type(d_so))
+        u2 = dtype.type(0.5) * (dtype.type(d_so) / (s + dtype.type(d_so))) ** 2
+        h = (t * factor - dtype.type(h_min)) * inv_lr - dtype.type(0.5)
+        h1 = np.floor(h)
+        fh = h - h1
+        h_ok = (h1 >= 0) & (h1 + 1 < n_row)
+        h1i = np.clip(h1.astype(np.int64), 0, n_row - 2)
+
+        for zs, out in zip(slab_zs, outs):
+            for m in range(len(zs)):
+                v = (zs[m] * factor - dtype.type(v_min)) * inv_lc \
+                    - dtype.type(0.5)
+                v1 = np.floor(v)
+                fv = v - v1
+                ok = h_ok & (v1 >= 0) & (v1 + 1 < n_col)
+                base = np.clip(v1.astype(np.int64), 0, n_col - 2) * n_row \
+                    + h1i
+                q11 = pf[base]
+                q21 = pf[base + 1]
+                q12 = pf[base + n_row]
+                q22 = pf[base + n_row + 1]
+                top = q11 + (q21 - q11) * fh
+                bot = q12 + (q22 - q12) * fh
+                val = top + (bot - top) * fv
+                val *= u2
+                out[m] += np.where(ok, val, dtype.type(0.0))
+    return [o.astype(np.float32) for o in outs]

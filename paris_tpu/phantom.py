@@ -16,7 +16,8 @@ import numpy as np
 
 from .geometry import DetectorGeometry, VolumeGeometry
 
-__all__ = ["SHEPP_LOGAN_ELLIPSOIDS", "shepp_logan_volume", "cone_beam_project"]
+__all__ = ["SHEPP_LOGAN_ELLIPSOIDS", "shepp_logan_volume", "cone_beam_project",
+           "cone_beam_project_jax"]
 
 # (value, x0, y0, z0, a, b, c, rot_deg) — canonical Kak-Slaney 3D variant,
 # coordinates in units of the phantom half-extent (= 1.0).
@@ -124,3 +125,86 @@ def cone_beam_project(
             acc += A * chord
         out[i] = acc.astype(dtype)
     return out
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _jax_projector(det: DetectorGeometry, scale_mm: float):
+    """Build (once per geometry) the jitted batch projector used by
+    ``cone_beam_project_jax`` — hoisted so repeated batch calls reuse
+    one compiled program instead of re-tracing."""
+    import jax
+    import jax.numpy as jnp
+
+    n_row, n_col = det.n_row, det.n_col
+    d_so, d_sd = abs(det.d_so), det.d_sd
+    h_min = det.delta_s * det.l_px_row - n_row * det.l_px_row / 2.0
+    v_min = det.delta_t * det.l_px_col - n_col * det.l_px_col / 2.0
+    h = (h_min + (np.arange(n_row) + 0.5) * det.l_px_row).astype(np.float32)
+    v = (v_min + (np.arange(n_col) + 0.5) * det.l_px_col).astype(np.float32)
+
+    @jax.jit
+    def _batch(phis):                       # (B,) radians -> (B, n_col, n_row)
+        sin = jnp.sin(phis)[:, None, None]
+        cos = jnp.cos(phis)[:, None, None]
+        H = h[None, None, :]
+        V = v[None, :, None]
+        sx = -d_so * cos
+        sy = -d_so * sin
+        dx = (d_sd - d_so) * cos - H * sin - sx
+        dy = (d_sd - d_so) * sin + H * cos - sy
+        dz = V + jnp.zeros_like(dx)
+        norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        acc = jnp.zeros_like(dx)
+        for A, x0, y0, z0, a, b, c, rot in SHEPP_LOGAN_ELLIPSOIDS:
+            th = np.deg2rad(rot)
+            ct, st = np.float32(np.cos(th)), np.float32(np.sin(th))
+            ox = sx - np.float32(x0 * scale_mm)
+            oy = sy - np.float32(y0 * scale_mm)
+            oz = np.float32(-z0 * scale_mm)
+            ia, ib, ic = (np.float32(1.0 / (a * scale_mm)),
+                          np.float32(1.0 / (b * scale_mm)),
+                          np.float32(1.0 / (c * scale_mm)))
+            oxr = (ox * ct + oy * st) * ia
+            oyr = (-ox * st + oy * ct) * ib
+            ozr = oz * ic
+            dxr = (dx * ct + dy * st) * ia
+            dyr = (-dx * st + dy * ct) * ib
+            dzr = dz * ic
+            qa = dxr * dxr + dyr * dyr + dzr * dzr
+            hb = oxr * dxr + oyr * dyr + ozr * dzr          # qb / 2
+            qc = oxr * oxr + oyr * oyr + ozr * ozr - 1.0
+            disc4 = hb * hb - qa * qc                       # disc / 4
+            hit = disc4 > 0.0
+            chord = jnp.where(hit, 2.0 * jnp.sqrt(
+                jnp.where(hit, disc4, 0.0)) / qa, 0.0) * norm
+            acc = acc + np.float32(A) * chord
+        return acc
+
+    return _batch
+
+
+def cone_beam_project_jax(det: DetectorGeometry, angles_deg: np.ndarray,
+                          scale_mm: float, *, block: bool = True):
+    """Accelerator-batched analytic projector — same math as
+    ``cone_beam_project`` in f32 (elementwise ray/ellipsoid chords; the
+    discriminant uses the cancellation-stable ``(qb/2)^2 - qa*qc``
+    form).  Exists for SCALE: synthesizing a full 3600-frame 2048-class
+    scan takes ~2 h in the single-threaded f64 NumPy projector on a
+    2-core host but minutes on a chip (d2h-bound).  f32 edge noise vs
+    the f64 oracle path sits at the ellipsoid silhouettes only (1-pixel
+    rims at tangent rays; measured 2.3e-4 relative RMSE / 3.3e-2 max on
+    a 256-class frame — tests/test_golden_fdk_e2e.py); the golden
+    oracle consumes the SAME stored frames, so reconstruction gates are
+    unaffected by synthesis precision.
+
+    ``block=False`` returns the device array without waiting (async
+    dispatch) so a caller can overlap compute of batch i+1 with the d2h
+    pull of batch i.
+    """
+    import jax.numpy as jnp
+    phis = np.deg2rad(np.asarray(angles_deg, np.float64)).astype(np.float32)
+    out = _jax_projector(det, float(scale_mm))(jnp.asarray(phis))
+    return np.asarray(out) if block else out

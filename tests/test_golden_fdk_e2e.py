@@ -57,6 +57,52 @@ def test_config1_reconstruction_resembles_phantom(scan64):
     assert corr > 0.85, f"corr {corr:.3f}"
 
 
+def test_golden_fdk_stream_matches_golden_fdk(scan64):
+    """The streaming multi-slab oracle (one pass, shared per-projection
+    maps, flat gathers) must reproduce ``golden_fdk`` slab-for-slab —
+    it is the oracle used at full scale (config 5, 3600 projections)
+    where per-slab golden_fdk is prohibitive."""
+    from paris_tpu.golden import golden_fdk_stream
+    det, vol, projs, angles, _ = scan64
+    slabs = [(vol.dim_z // 2, 4), (5, 3)]
+    outs = golden_fdk_stream(zip(projs, angles), det, vol, slabs)
+    for (z0, dz), got in zip(slabs, outs):
+        ref = golden_fdk(projs, angles, det, vol, dz=dz, z_offset=z0)
+        scale = float(np.abs(ref).max())
+        assert np.abs(got - ref).max() / scale < 1e-4
+
+    # the f32 hot path (used for the 2048-class gate) stays far under
+    # the 1e-3 reconstruction gates vs the f64 oracle
+    outs32 = golden_fdk_stream(zip(projs, angles), det, vol, slabs,
+                               dtype=np.float32)
+    for ref, got in zip(outs, outs32):
+        scale = float(np.abs(ref).max())
+        assert np.abs(got - ref).max() / scale < 1e-4
+
+    # partial sums over disjoint projection shards add exactly to the
+    # full result (the sharded golden_slab.py driver relies on this)
+    a = golden_fdk_stream(zip(projs[::2], angles[::2]), det, vol, slabs[:1])
+    b = golden_fdk_stream(zip(projs[1::2], angles[1::2]), det, vol, slabs[:1])
+    ref = outs[0]
+    scale = float(np.abs(ref).max())
+    assert np.abs((a[0] + b[0]) - ref).max() / scale < 1e-4
+
+
+def test_cone_beam_project_jax_matches_numpy(scan64):
+    """The chip-batched f32 projector must agree with the f64 NumPy
+    projector to silhouette-rim rounding (RMSE; the max error sits on
+    1-pixel tangent-ray rims — both pipelines consume the same stored
+    frames, so gates are unaffected)."""
+    from paris_tpu.phantom import cone_beam_project_jax
+    det, vol, projs, angles, scale = scan64
+    got = cone_beam_project_jax(det, angles[:8], scale)
+    ref = projs[:8]
+    s = float(np.abs(ref).max())
+    rmse = float(np.sqrt(np.mean((got - ref) ** 2)))
+    assert rmse / s < 1e-3, f"rel RMSE {rmse/s:.2e}"
+    assert np.abs(got - ref).max() / s < 0.05
+
+
 def test_config1_pallas_fast_u16_staging_vs_golden_rmse(scan64):
     """Fast accuracy with affine-u16 WIRE staging (stage_chunk
     quantizes the raw chunk per-chunk before h2d — half the transfer
