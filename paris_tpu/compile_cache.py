@@ -99,8 +99,14 @@ def load(parts, execution_devices=None):
         if execution_devices is None:
             # bind to the process's DEFAULT device (jax_default_device
             # honored), matching where the plain jitted step would run
-            # — not unconditionally devices()[0]
+            # — not unconditionally devices()[0].  The config value may
+            # be a PLATFORM STRING (JAX_DEFAULT_DEVICE=cpu); resolve it
+            # to that platform's first device rather than passing the
+            # string through (which would fail deserialize_and_load and
+            # evict a perfectly valid entry — ADVICE r4).
             default = jax.config.jax_default_device
+            if isinstance(default, str):
+                default = jax.devices(default)[0]
             execution_devices = [default if default is not None
                                  else jax.devices()[0]]
         exe = se.deserialize_and_load(

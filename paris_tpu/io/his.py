@@ -99,6 +99,12 @@ def _parse_header(buf: bytes, path: str) -> HisHeader:
     )
 
 
+def read_his_header(path: str) -> HisHeader:
+    """Parse just the 68-byte file header (cheap frame/shape probe)."""
+    with open(path, "rb") as f:
+        return _parse_header(f.read(_FILE_HEADER_SIZE), path)
+
+
 def read_his(path: str) -> np.ndarray:
     """Read a HIS file -> (frames, height, width) float32 array."""
     from . import native

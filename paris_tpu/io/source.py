@@ -26,8 +26,9 @@ from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from .his import read_his, read_his_selective, HisFormatError
+from .his import read_his, read_his_header, read_his_selective, HisFormatError
 from .angles import read_angles
+from ..exceptions import StageConstructionError
 
 logger = logging.getLogger("paris_tpu.io")
 
@@ -82,6 +83,26 @@ class ProjectionSource:
         self.angles = read_angles(angle_file) if angle_file else None
         self.prefetch = prefetch
         self.slot_filter = slot_filter
+        if self.angles is not None:
+            # a SHORT angle table is an error, not a silent fallback:
+            # the reference reads exactly one angle per projection
+            # (src/source.cpp:107-110) — falling back to idx*delta_phi
+            # past the table's end would mix two angle conventions
+            # mid-stream with no warning (r4 verdict 5).  Cheap check:
+            # 68-byte header reads only; unreadable files are skipped
+            # here exactly as the stream skips them later.
+            total = 0
+            for p in self.paths:
+                try:
+                    total += read_his_header(p).frame_number
+                except (HisFormatError, OSError):
+                    continue
+            if total > len(self.angles):
+                raise StageConstructionError(
+                    f"angle file {angle_file} has {len(self.angles)} "
+                    f"entries but the projection stream has {total} "
+                    f"frames (pre-decimation); refusing to mix "
+                    f"table angles with idx*delta_phi")
 
     def _angle(self, idx: int) -> float:
         if self.angles is not None and idx < len(self.angles):

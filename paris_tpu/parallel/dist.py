@@ -41,6 +41,7 @@ from ..ops.filtering import ramp_filter_spectrum, filter_projections
 from ..pipeline import (
     dequantize_chunk, identity_qparams, quantize_chunk_u16,
     _proj_bytes, _proj_sublane, _scratch_rows, _vmem_budget,
+    _STAGE_WORKERS as _STAGE_CONCURRENCY,
 )
 from .mesh import Z_AXIS, make_z_mesh
 
@@ -95,12 +96,34 @@ class DistributedReconstructor:
         self._weights = weight_map(det)
         self._spectrum = ramp_filter_spectrum(det.n_row, det.l_px_row)
 
-        if backend == "auto":
+        # x-tile ladder + loud fallback, as in Reconstructor.__init__
+        # (pipeline.py): a wide-fan geometry narrows the tile before
+        # surrendering to the ~3000x-slower XLA op
+        from ..pipeline import resolve_pallas_x_tile
+        import os as _os
+        self.x_tile = None
+        was_auto = backend == "auto"
+        if was_auto:
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-            if backend == "pallas":
-                from ..ops.backprojection_pallas import pallas_supported
-                if not pallas_supported(self.grid):
-                    backend = "xla"
+        if backend == "pallas":
+            if _os.environ.get("PARIS_BP_XTILE"):
+                self.x_tile = resolve_pallas_x_tile(
+                    self.grid, int(_os.environ["PARIS_BP_XTILE"]))
+            else:
+                self.x_tile = resolve_pallas_x_tile(self.grid)
+            if self.x_tile is None:
+                if not was_auto:
+                    raise ValueError(
+                        "geometry's h-band exceeds the Pallas envelope "
+                        "at every supported x-tile (64/32/16); use "
+                        "backend='xla' (or 'auto') for this geometry")
+                import logging
+                logging.getLogger("paris_tpu.parallel").warning(
+                    "geometry's h-band exceeds the Pallas envelope at "
+                    "every x-tile (64/32/16); falling back to the "
+                    "portable XLA backprojection op — measured ~3000x "
+                    "slower on TPU (0.02 vs 60.5 Gupd/s at 512-class)")
+                backend = "xla"
         self.backend = backend
 
         ang_spec = P(Z_AXIS)
@@ -149,7 +172,7 @@ class DistributedReconstructor:
             # (pipeline.py); without it an oversized chunk surfaces as
             # a Mosaic allocation failure instead of this message
             hp = _round_up(det.n_row, _proj_sublane(accuracy))
-            srows = _scratch_rows(accuracy)
+            srows = _scratch_rows(accuracy, self.x_tile)
             pb = _proj_bytes(accuracy)
             vmem_est = self.chunk_size * self._vp * (pb * hp + 4 * srows)
             budget = _vmem_budget()
@@ -195,7 +218,8 @@ class DistributedReconstructor:
                     volume, proj_t, sins, coss, self.grid, shard_offs,
                     interpret=interpret,
                     precision=jax.lax.Precision.DEFAULT,
-                    window_mode=window_mode, static_plan=static_plan)
+                    window_mode=window_mode, static_plan=static_plan,
+                    x_tile=self.x_tile)
         else:
             raise ValueError(f"unknown backend {backend!r}")
 
@@ -219,7 +243,9 @@ class DistributedReconstructor:
             if compile_cache.cache_dir() and jax.process_count() == 1:
                 key = ("dist", backend, det, vol, self.chunk_size,
                        self.block_dz, self.n_dev, accuracy, window_mode,
-                       interpret, self._vp, _env_knobs(), static_plan)
+                       interpret, self._vp, _env_knobs(), static_plan) + (
+                    () if self.x_tile in (None, 64)
+                    else ("xtile", self.x_tile))
                 return _CachedStep(
                     stepped, key,
                     execution_devices=list(self.mesh.devices.flat))
@@ -320,7 +346,8 @@ class DistributedReconstructor:
         if self.accuracy == "fast" and self.backend == "pallas":
             if len(self._owned_ranges) == 1 and \
                     self._owned_ranges[0] == (0, C):
-                chunk, qparams = quantize_chunk_u16(chunk, C)
+                chunk, qparams = quantize_chunk_u16(
+                    chunk, C, concurrency=_STAGE_CONCURRENCY)
             else:
                 n = chunk.shape[0]
                 q = np.zeros((C,) + chunk.shape[1:], np.uint16)
@@ -329,7 +356,7 @@ class DistributedReconstructor:
                     if min(hi, n) > lo:
                         sq, sp = quantize_chunk_u16(
                             np.ascontiguousarray(chunk[lo:min(hi, n)]),
-                            hi - lo)
+                            hi - lo, concurrency=_STAGE_CONCURRENCY)
                         q[lo:hi] = sq
                         qparams[lo:hi] = sp
                 chunk = q

@@ -50,10 +50,17 @@ def dequantize_chunk(chunk, qparams):
             + qparams[:, 1, None, None])
 
 
-def quantize_chunk_u16(chunk: np.ndarray, pad_to: int):
+def quantize_chunk_u16(chunk: np.ndarray, pad_to: int, *,
+                       concurrency: int = 1):
     """Per-FRAME affine-u16 wire quantization of an unpadded (n, V, H)
     chunk; returns (u16 chunk padded to ``pad_to`` frames, (pad_to, 2)
     f32 qparams rows [scale, lo]).
+
+    ``concurrency`` is how many of these calls run at once on the host
+    (the native quantizer's thread budget is cpu_count/concurrency):
+    stage_stream-driven callers pass their worker count so two in-flight
+    quantizations don't oversubscribe; direct/serial callers keep the
+    default 1 = full host parallelism (ADVICE r4).
 
     Per-frame (not per-chunk) ranges keep the quantization step tied to
     each frame's own dynamic range, and give padded tail frames
@@ -70,10 +77,9 @@ def quantize_chunk_u16(chunk: np.ndarray, pad_to: int):
     if native.quantize_u16_available() and chunk.flags.c_contiguous:
         # fused native two-pass loop (threaded across frames) — NumPy
         # needs ~4 full-array passes and this feeds the chip on the
-        # streaming critical path.  Thread share: stage_stream runs
-        # _STAGE_WORKERS of these concurrently.
+        # streaming critical path
         native.quantize_u16(chunk, q, qparams, n_threads=max(
-            1, (os.cpu_count() or 1) // _STAGE_WORKERS))
+            1, (os.cpu_count() or 1) // max(1, concurrency)))
     else:
         lo = chunk.min(axis=(1, 2))
         scale = (chunk.max(axis=(1, 2)) - lo) / 65535.0
@@ -185,6 +191,27 @@ def _auto_backend() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def resolve_pallas_x_tile(grid, requested: Optional[int] = None):
+    """Largest supported x-tile for this geometry, or None (unsupported).
+
+    The Pallas kernel's banded h-interp requires one x-tile's detector
+    span to fit the 256-px band, and the bound scales with x_tile
+    (ops/backprojection_pallas.py: ``(x_tile-1)*span + 4 + sub``) — so a
+    wide-fan geometry that fails at the default 64 often fits at 32 or
+    16 (~4x wider spans).  Falling straight back to the XLA op instead
+    was the r4-verdict "silent 3000x cliff": the same-chip A/B measured
+    0.02 Gupd/s (XLA op) vs 60.5 (Pallas) at 512-class.  A narrower
+    tile costs some MXU efficiency but stays orders of magnitude ahead.
+    """
+    from .ops.backprojection_pallas import pallas_supported
+    if requested is not None:
+        return requested if pallas_supported(grid, requested) else None
+    for xt in (64, 32, 16):
+        if pallas_supported(grid, xt):
+            return xt
+    return None
+
+
 def _vmem_budget() -> int:
     """Per-kernel VMEM budget for resident projections + scratch.
 
@@ -197,7 +224,8 @@ def _vmem_budget() -> int:
 
 def max_chunk_size(det: DetectorGeometry, v_band_width=None,
                    budget_bytes: Optional[int] = None,
-                   accuracy: str = "exact") -> int:
+                   accuracy: str = "exact",
+                   x_tile: Optional[int] = None) -> int:
     """Largest pallas chunk fitting the VMEM budget for this detector."""
     if budget_bytes is None:
         budget_bytes = _vmem_budget()
@@ -208,7 +236,7 @@ def max_chunk_size(det: DetectorGeometry, v_band_width=None,
     hp = rup(det.n_row, _proj_sublane(accuracy))
     pb = _proj_bytes(accuracy)
     return max(1, budget_bytes
-               // (vp * (pb * hp + 4 * _scratch_rows(accuracy))))
+               // (vp * (pb * hp + 4 * _scratch_rows(accuracy, x_tile))))
 
 
 def _proj_bytes(accuracy: str) -> int:
@@ -225,14 +253,16 @@ def _proj_sublane(accuracy: str) -> int:
     return 16
 
 
-def _scratch_rows(accuracy: str) -> int:
+def _scratch_rows(accuracy: str, x_tile: Optional[int] = None) -> int:
     """Per-chunk VMEM scratch rows (Q[/dQ]) in units of VP-wide f32 rows.
 
     The kernel's window-major scratch stores 64-lane-stride windows
     (2*VP/128 - 1 of them), ~2x the VP width — hence the factor 2.
+    Scratch scales with the x-tile (one Q row per tile voxel).
     """
     from .ops import backprojection_pallas as bpp
-    return bpp._XTILE * 2 * (1 if accuracy == "fast" else 2)
+    xt = bpp._XTILE if x_tile is None else x_tile
+    return xt * 2 * (1 if accuracy == "fast" else 2)
 
 
 # Compiled steps keyed by everything that shapes the program, shared
@@ -252,7 +282,14 @@ _STEP_CACHE: "collections.OrderedDict" = collections.OrderedDict()
 def _step_cache_put(key, step):
     _STEP_CACHE[key] = step
     _STEP_CACHE.move_to_end(key)
-    limit = int(os.environ.get("PARIS_STEP_CACHE_MAX", "64"))
+    raw = os.environ.get("PARIS_STEP_CACHE_MAX", "64")
+    try:
+        limit = int(raw)
+    except ValueError:     # same hardening class as _evict (ADVICE r4)
+        import logging
+        logging.getLogger("paris_tpu.pipeline").warning(
+            "ignoring malformed PARIS_STEP_CACHE_MAX=%r (using 64)", raw)
+        limit = 64
     while len(_STEP_CACHE) > max(1, limit):
         _STEP_CACHE.popitem(last=False)
 
@@ -284,6 +321,7 @@ class Reconstructor:
         v_band_width: Optional[int] = None,   # detector-row band (pallas)
         accuracy: str = "exact",              # "fast": bf16 interp tables
         window_mode: Optional[str] = None,    # pallas stage-2 strategy
+        x_tile: Optional[int] = None,         # pallas x-tile (None = ladder)
         device=None,
     ):
         if accuracy not in ("exact", "fast"):
@@ -299,12 +337,32 @@ class Reconstructor:
         self._weights = weight_map(det)
         self._spectrum = ramp_filter_spectrum(det.n_row, det.l_px_row)
 
-        if backend == "auto":
+        self.x_tile: Optional[int] = None
+        was_auto = backend == "auto"
+        if was_auto:
             backend = _auto_backend()
-            if backend == "pallas":
-                from .ops.backprojection_pallas import pallas_supported
-                if not pallas_supported(self.grid):
-                    backend = "xla"
+        if backend == "pallas":
+            if x_tile is None and os.environ.get("PARIS_BP_XTILE"):
+                x_tile = int(os.environ["PARIS_BP_XTILE"])  # expt knob
+            self.x_tile = resolve_pallas_x_tile(self.grid, x_tile)
+            if self.x_tile is None:
+                if not was_auto:
+                    raise ValueError(
+                        "geometry's h-band exceeds the Pallas envelope "
+                        "at every supported x-tile (64/32/16); use "
+                        "backend='xla' (or 'auto') for this geometry")
+                import logging
+                logging.getLogger("paris_tpu.pipeline").warning(
+                    "geometry's h-band exceeds the Pallas envelope at "
+                    "every x-tile (64/32/16); falling back to the "
+                    "portable XLA backprojection op — measured ~3000x "
+                    "slower on TPU (0.02 vs 60.5 Gupd/s at 512-class)")
+                backend = "xla"
+            elif self.x_tile != 64:
+                import logging
+                logging.getLogger("paris_tpu.pipeline").info(
+                    "wide-fan geometry: pallas x-tile narrowed to %d",
+                    self.x_tile)
         self.backend = backend
 
         if backend == "pallas":
@@ -321,7 +379,7 @@ class Reconstructor:
             # VMEM budget: banded projections + Q[/dQ] scratch must fit
             # alongside the volume block and pipeline buffers (~16MB/core)
             hp = bpp._round_up(det.n_row, _proj_sublane(accuracy))
-            srows = _scratch_rows(accuracy)
+            srows = _scratch_rows(accuracy, self.x_tile)
             pb = _proj_bytes(accuracy)
             vmem_est = self.chunk_size * self._vp * (pb * hp + 4 * srows)
             budget = _vmem_budget()
@@ -340,10 +398,15 @@ class Reconstructor:
             # plan for stage 2 (no dynamic scratch addressing — ~7%
             # faster at the 1024 flagship); jit retraces per block, which
             # is a handful of compilations for any real run.
+            # the constructor-chosen x-tile shapes the program, so it is
+            # part of BOTH cache keys (in-process and on-disk); the
+            # default 64 keys as None for fingerprint compatibility
+            xt_key = None if self.x_tile == 64 else self.x_tile
             cache_key = ("pallas", det, vol, self.chunk_size,
                          self.block_shape, self._vp, accuracy, window_mode,
                          interpret, _env_knobs(),
-                         None if device is None else repr(device))
+                         None if device is None else repr(device)) + (
+                () if xt_key is None else ("xtile", xt_key))
             # the in-process key ALSO carries the cache-dir setting (a
             # toggled PARIS_COMPILE_CACHE must not reuse a step wrapped
             # for the other mode); the DISK fingerprint uses cache_key
@@ -357,6 +420,7 @@ class Reconstructor:
                 weights, spectrum, grid_, vp, vpf = (
                     self._weights, self._spectrum, self.grid, self._vp,
                     vp_full)
+                xt = self.x_tile
 
                 @functools.partial(jax.jit, donate_argnums=(0,),
                                    static_argnums=(6, 7))
@@ -385,7 +449,8 @@ class Reconstructor:
                         volume_yxz, proj_t, sin_phi, cos_phi, grid_, offs,
                         interpret=interpret,
                         precision=jax.lax.Precision.DEFAULT,
-                        window_mode=window_mode, static_plan=static_plan)
+                        window_mode=window_mode, static_plan=static_plan,
+                        x_tile=xt)
 
                 # the loaded executable is bound to the default device;
                 # non-default placements keep the plain jit step
@@ -490,7 +555,10 @@ class Reconstructor:
         put = (functools.partial(jax.device_put, device=self.device)
                if self.device else jax.device_put)
         if self.accuracy == "fast" and self.backend == "pallas":
-            chunk, qparams = quantize_chunk_u16(chunk, C)
+            # staged under stage_stream: _STAGE_WORKERS of these run
+            # concurrently, so each takes its share of the host threads
+            chunk, qparams = quantize_chunk_u16(
+                chunk, C, concurrency=_STAGE_WORKERS)
         else:
             qparams = identity_qparams(C)
             if chunk.shape[0] < C:
