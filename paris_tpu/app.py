@@ -175,30 +175,35 @@ def _overlap_free_est(hbm_budget: Optional[int],
 
 
 def _fits_two_blocks(vol_geo: VolumeGeometry, dz: int, proj_buffer: int,
-                     free_est: Optional[int]) -> bool:
+                     free_est: Optional[int], n_shards: int = 1) -> bool:
     """Do TWO padded accumulators (+ staging) fit the free estimate?
     The single overlap-fit criterion — the planner's extent cap and the
-    runtime overlap gate must agree (same expression, one place)."""
+    runtime overlap gate must agree (same expression, one place), and
+    BOTH drivers use it: ``n_shards`` scales the block to the per-device
+    share on a sharded mesh (free_est is per-device)."""
     if free_est is None:
         return True
-    return 2 * _block_hbm_bytes(vol_geo, dz) + proj_buffer <= free_est
+    return (2 * _block_hbm_bytes(vol_geo, dz) // max(1, n_shards)
+            + proj_buffer <= free_est)
 
 
 def _overlap_block_dz(vol_geo: VolumeGeometry, free_est: Optional[int],
-                      proj_buffer: int, dz_padded: int) -> Optional[int]:
-    """Largest 8-aligned extent below ``dz_padded`` for which TWO
-    padded accumulators (+ staging buffers) fit the device's free
+                      proj_buffer: int, dz_padded: int,
+                      n_shards: int = 1, align: int = 8) -> Optional[int]:
+    """Largest ``align``-aligned extent below ``dz_padded`` for which
+    TWO padded accumulators (+ staging buffers) fit the device's free
     memory — enables the finalize/write overlap.  None when the
     current extent already fits (no change needed) or when nothing
     above 128 slices does (tiny-volume 128-padding dominates)."""
     def fits_two(dz: int) -> bool:
-        return _fits_two_blocks(vol_geo, dz, proj_buffer, free_est)
+        return _fits_two_blocks(vol_geo, dz, proj_buffer, free_est,
+                                n_shards)
 
     if fits_two(dz_padded):
         return None
-    dz2 = dz_padded - 8
+    dz2 = dz_padded - align
     while dz2 > 128 and not fits_two(dz2):
-        dz2 -= 8
+        dz2 -= align
     return dz2 if dz2 > 128 else None
 
 

@@ -18,7 +18,10 @@ from typing import Optional, Tuple
 import numpy as np
 import jax
 
-from ..app import ReconstructionJob, _auto_hbm_budget, _roi_offset
+from ..app import (
+    ReconstructionJob, _auto_hbm_budget, _budget_max_dz, _fits_two_blocks,
+    _overlap_block_dz, _overlap_free_est, _perf_block_dz, _roi_offset,
+)
 from ..geometry import apply_roi, derive_volume_geometry, plan_z_blocks
 from ..io.sink import VolumeSink
 from ..io.source import ProjectionSource
@@ -78,6 +81,7 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
     chunk -= chunk % n_dev
 
     proj_bytes = 4 * job.det.n_row * job.det.n_col
+    proj_buffer = 4 * proj_bytes * chunk
     hbm_budget = job.hbm_budget_bytes
     if hbm_budget is None:
         hbm_budget = _auto_hbm_budget()
@@ -87,16 +91,50 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
             hbm_budget *= n_dev
             logger.info("auto HBM budget: %.1f GB across %d device(s)",
                         hbm_budget / 2**30, n_dev)
+    align = 8 * n_dev
+    block_dz = job.block_dz
+    if block_dz is None:
+        # throughput-aware extent, shared with the single-chip driver
+        # (app._perf_block_dz): larger z columns amortize stage-1
+        # Q-scratch fills; budgets here are mesh aggregates, matching
+        # _perf_block_dz's whole-block comparison
+        block_dz = _perf_block_dz(job, vol_geo, full_geo,
+                                  hbm_budget, proj_buffer)
+        if block_dz is not None and hbm_budget is not None:
+            block_dz = min(block_dz, _budget_max_dz(
+                hbm_budget, proj_buffer, vol_geo, align=align))
     info = plan_z_blocks(
         vol_geo,
         hbm_budget_bytes=hbm_budget,
-        proj_buffer_bytes=4 * proj_bytes * chunk,
+        proj_buffer_bytes=proj_buffer,
         num_shards=n_dev,
         z_align=8,
-        block_dz=job.block_dz,
+        block_dz=block_dz,
     )
     logger.info("z-split: %d block(s) of %d slices (padded)",
                 info.num, info.dim_z_padded)
+
+    # overlap-capable split, shared with the single-chip driver: cap
+    # the extent so TWO padded per-device accumulator shards fit, so a
+    # writer thread can drain block k while k+1 reconstructs
+    import os as _os
+    overlap_enabled = _os.environ.get("PARIS_WRITE_OVERLAP", "1") != "0"
+    per_dev_budget = None if hbm_budget is None else hbm_budget // n_dev
+    free_est = _overlap_free_est(per_dev_budget,
+                                 budget_is_auto=job.hbm_budget_bytes is None)
+    if overlap_enabled and free_est is not None and info.num > 1 \
+            and job.block_dz is None:
+        dz2 = _overlap_block_dz(vol_geo, free_est, proj_buffer,
+                                info.dim_z_padded, n_shards=n_dev,
+                                align=align)
+        if dz2 is not None:
+            info = plan_z_blocks(
+                vol_geo, hbm_budget_bytes=hbm_budget,
+                proj_buffer_bytes=proj_buffer, num_shards=n_dev,
+                z_align=8, block_dz=dz2)
+            logger.info(
+                "z-split adjusted for write overlap: %d block(s) "
+                "of %d slices (padded)", info.num, info.dim_z_padded)
 
     # multi-host: process 0 creates the shared ddbvf, the rest attach
     # after a barrier (a concurrent create would truncate mid-write)
@@ -155,7 +193,43 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
         logger.info("disjoint input: this process decodes %d/%d chunk "
                     "slots", len(owned), chunk)
         slot_filter = lambda pos: (pos % chunk) in owned  # noqa: E731
+
+    # Finalize/write overlap, shared semantics with app.run_job: a
+    # writer thread drains block k's d2h + ddbvf writes WHILE block k+1
+    # reconstructs.  The writer does ONLY local work (shard d2h +
+    # pwrite); the cross-process barrier and the manifest mark stay on
+    # the MAIN thread at a fixed program point, because
+    # multihost.barrier is a device collective — collectives issued
+    # from two threads could be enqueued in different orders on
+    # different processes (deadlock).  Main-thread order is
+    # deterministic: steps(k), steps(k+1), barrier(k), steps(k+2), ...
+    import concurrent.futures as _cf
+    overlap = overlap_enabled and _fits_two_blocks(
+        vol_geo, info.dim_z_padded, proj_buffer, free_est, n_dev)
+    if overlap and info.num > 1:
+        logger.info("write overlap: block k+1 reconstructs while "
+                    "block k drains to disk")
+    writer = _cf.ThreadPoolExecutor(1, thread_name_prefix="paris-write")
+    pending = None          # (future, block) of the draining block
+
+    def _drain(vol_state, blk):
+        with timers.time("finalize+write"):
+            if multihost.is_multihost():
+                # local shards only — no collectives on this thread
+                rec.write_shards(vol_state, sink.path, blk.z0, blk.dim_z)
+            else:
+                out = rec.finalize(vol_state)[: blk.dim_z]
+                sink.write_block(blk.index, out, blk.z0)
+
+    def _complete(blk):
+        """Main-thread completion: all processes synced, block marked."""
+        if multihost.is_multihost():
+            multihost.barrier(f"paris-block-{blk.index}")
+            if jax.process_index() == 0:
+                sink.mark_done(blk.index)
+
     with multihost.crash_diagnostics("reconstruct", job.output_path):
+      try:
         for block in info.blocks:
             if sink.is_done(block.index):
                 logger.info("block %d already complete, skipping",
@@ -222,22 +296,46 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
                 # reconstruct / finalize+write split honest
                 jax.block_until_ready(volume)
             pps, gups = meter.rates()
-            with timers.time("finalize+write"):
-                if multihost.is_multihost():
-                    # each process writes only its addressable shards
-                    rec.write_shards(volume, sink.path, block.z0,
-                                     block.dim_z)
-                    volume = None      # free before the next init_block
-                    multihost.barrier(f"paris-block-{block.index}")
-                    if jax.process_index() == 0:
-                        sink.mark_done(block.index)
-                else:
-                    out = rec.finalize(volume)[: block.dim_z]
-                    volume = None      # free before the next init_block
-                    sink.write_block(block.index, out, block.z0)
-                    del out
+            if pending is not None:
+                # bound in-flight accumulators at 2 (this block's + the
+                # draining one); surfaces writer errors; then the
+                # main-thread barrier/mark for the drained block
+                fut, pblk = pending
+                pending = None
+                fut.result()
+                _complete(pblk)
+            pending = (writer.submit(_drain, volume, block), block)
+            # drop the loop's reference NOW: without overlap the wait
+            # below frees the accumulator before the next init_block
+            volume = None
+            if not overlap:
+                fut, pblk = pending
+                pending = None
+                fut.result()
+                _complete(pblk)
             logger.info("block %d done (%d projections, %.1f proj/s, "
                         "%.1f Gupd/s)", block.index, n_proj, pps, gups)
+        if pending is not None:
+            fut, pblk = pending
+            pending = None
+            fut.result()
+            _complete(pblk)
+      finally:
+        # deliberate error path, as in app.run_job: finish any in-flight
+        # write (never torn mid-block), log its own failure without
+        # masking the original, always join the writer thread
+        import sys as _sys
+        in_flight_exc = _sys.exc_info()[1] is not None
+        try:
+            if pending is not None:
+                pending[0].result()
+        except Exception:
+            if not in_flight_exc:
+                raise
+            logger.exception("in-flight block write also failed "
+                             "during error shutdown")
+        finally:
+            writer.shutdown(wait=True)
 
     timers.report(logger)
     logger.info("distributed reconstruction finished in %s -> %s",

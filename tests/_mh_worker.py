@@ -24,6 +24,8 @@ def main() -> None:
     cfg = json.loads(sys.argv[1])
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={cfg['local_devices']}")
+    if cfg.get("cache_dir"):
+        os.environ["PARIS_COMPILE_CACHE"] = cfg["cache_dir"]
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
@@ -41,6 +43,28 @@ def main() -> None:
         from paris_tpu.app import ReconstructionJob
         from paris_tpu.parallel.app import run_job_distributed
 
+        if cfg.get("cache_dir"):
+            # count persistent-executable cache hits/stores so the
+            # parent can assert the warm run LOADED on every process
+            from paris_tpu import compile_cache
+            stats = {"loads": 0, "stores": 0}
+            _load, _store = compile_cache.load, compile_cache.store
+
+            def load(parts, execution_devices=None):
+                r = _load(parts, execution_devices)
+                if r is not None:
+                    stats["loads"] += 1
+                return r
+
+            def store(parts, compiled):
+                r = _store(parts, compiled)
+                if r:
+                    stats["stores"] += 1
+                return r
+
+            compile_cache.load = load
+            compile_cache.store = store
+
         job = ReconstructionJob(
             det=det, input_path=cfg["input"], output_path=cfg["output"],
             prefix=cfg["prefix"], chunk_size=cfg["chunk"], backend="xla",
@@ -51,6 +75,9 @@ def main() -> None:
         # pixel-decoded only its own chunk-shard's frames
         from paris_tpu.io import his
         print(f"DECODE-FRAMES={his.DECODE_STATS['frames']}", flush=True)
+        if cfg.get("cache_dir"):
+            print(f"CACHE-LOADS={stats['loads']} "
+                  f"CACHE-STORES={stats['stores']}", flush=True)
     elif cfg["mode"] == "pallas_shards":
         from paris_tpu.parallel import multihost
         from paris_tpu.parallel.dist import DistributedReconstructor

@@ -114,6 +114,68 @@ def test_two_process_e2e_matches_single_process(tmp_path):
     assert decoded == [n_proj // 2, n_proj // 2], decoded
 
 
+def test_two_process_persistent_compile_cache_warm_start(tmp_path):
+    """r4 verdict 2: a pod-shaped job's SECOND process start must load
+    its sharded executable from the persistent cache on EVERY process
+    (the process_count()==1 gate is gone).  Cold run compiles + stores;
+    warm run (fresh processes, same cache dir) loads on both processes
+    and byte-matches the cold output."""
+    from paris_tpu.geometry import DetectorGeometry
+    from paris_tpu.io.his import write_his
+    from paris_tpu.io import ddbvf
+
+    det = DetectorGeometry(**DET_KW)
+    n_proj = 16
+    rng = np.random.default_rng(3)
+    frames = rng.uniform(0, 60000,
+                         (n_proj, det.n_col, det.n_row)).astype(np.uint16)
+    pdir = tmp_path / "proj"
+    pdir.mkdir()
+    for i in range(0, n_proj, 8):
+        write_his(str(pdir / f"b{i:04d}.his"), frames[i:i + 8],
+                  number_dtype=np.uint16)
+    cache_dir = str(tmp_path / "cache")
+
+    def run(outdir):
+        return _spawn_workers({
+            "mode": "e2e_xla",
+            "coordinator": f"127.0.0.1:{_free_port()}",
+            "num_processes": 2,
+            "local_devices": 2,
+            "repo": REPO,
+            "det": DET_KW,
+            "input": str(pdir),
+            "output": str(outdir),
+            "prefix": "v",
+            "chunk": 8,
+            "block_dz": 32,
+            "cache_dir": cache_dir,
+        })
+
+    def cache_stats(outs):
+        return [(int(o.split("CACHE-LOADS=")[1].split()[0]),
+                 int(o.split("CACHE-STORES=")[1].split()[0]))
+                for o in outs]
+
+    cold = cache_stats(run(tmp_path / "cold"))
+    # cold: no loads; every process stored its executable
+    assert all(l == 0 for l, _ in cold), cold
+    assert all(s >= 1 for _, s in cold), cold
+    # one entry per process (distinct process_index in the fingerprint)
+    entries = [f for f in os.listdir(cache_dir)
+               if f.endswith(".paris-exec")]
+    assert len(entries) == 2, entries
+
+    warm = cache_stats(run(tmp_path / "warm"))
+    # warm: EVERY process loaded from disk, nothing recompiled/stored
+    assert all(l >= 1 for l, _ in warm), warm
+    assert all(s == 0 for _, s in warm), warm
+
+    ref = ddbvf.read_volume(str(tmp_path / "cold" / "v.ddbvf"))
+    got = ddbvf.read_volume(str(tmp_path / "warm" / "v.ddbvf"))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_two_process_pallas_yxz_shard_writes(tmp_path):
     """Pallas kernel-layout (y-sharded) multi-host writes reassemble the
     same volume a single-process interpret-mode run produces."""
