@@ -23,6 +23,7 @@ Run:  python benchmarks/full_scale_2048.py [--out benchmarks/results_round3.json
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import logging
 import os
@@ -131,6 +132,13 @@ def main():
                                      block_dz=dz2)
     res["planned_blocks"] = info.num
     print(f"planned {info.num} blocks of {info.dim_z_padded}", flush=True)
+    # PIN the planned extent into the job: the auto planner's live
+    # free-HBM probe could drift between this plan and run_job's own
+    # (ADVICE r4 — the "seam" slab silently gating an interior slab);
+    # with block_dz forced, the job's block map IS this plan.  The
+    # auto-planning itself (the config-5 gate) was still exercised by
+    # the plan above.
+    job = dataclasses.replace(job, block_dz=info.dim_z_padded)
 
     t0 = time.perf_counter()
     out = run_job(job)

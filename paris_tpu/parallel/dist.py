@@ -248,7 +248,9 @@ class DistributedReconstructor:
             # 112-178, was per-host too).  Proven by the 2-proc CPU
             # warm-start test (tests/test_multihost_2proc.py).
             if compile_cache.cache_dir():
-                key = ("dist", backend, det, vol, self.chunk_size,
+                from ..pipeline import _cache_key_det
+                key = ("dist", backend, _cache_key_det(det), vol,
+                       self.chunk_size,
                        self.block_dz, self.n_dev, accuracy, window_mode,
                        interpret, self._vp, _env_knobs(), static_plan) + (
                     () if self.x_tile in (None, 64)

@@ -141,6 +141,19 @@ def stage_stream(stage_fn, pairs, *, depth: int = 3,
                 fut.cancel()
 
 
+def _cache_key_det(det: DetectorGeometry) -> DetectorGeometry:
+    """Detector as keyed in the compiled-step caches: delta_phi zeroed.
+
+    The compiled program is delta-phi-INVARIANT — angles enter as
+    runtime sin/cos arrays, and every trace-time constant (weights,
+    filter spectrum, BpGrid, window plans) depends only on pixel
+    pitches, offsets and distances — so two scans of the same geometry
+    at different angular steps (e.g. a 360- and a 3600-projection scan)
+    must share one cached executable."""
+    import dataclasses as _dc
+    return _dc.replace(det, delta_phi=0.0)
+
+
 def _env_knobs() -> tuple:
     """Snapshot of every env knob the kernel wrapper reads at TRACE
     time (ops/backprojection_pallas.py reads these inside
@@ -402,7 +415,8 @@ class Reconstructor:
             # part of BOTH cache keys (in-process and on-disk); the
             # default 64 keys as None for fingerprint compatibility
             xt_key = None if self.x_tile == 64 else self.x_tile
-            cache_key = ("pallas", det, vol, self.chunk_size,
+            cache_key = ("pallas", _cache_key_det(det), vol,
+                         self.chunk_size,
                          self.block_shape, self._vp, accuracy, window_mode,
                          interpret, _env_knobs(),
                          None if device is None else repr(device)) + (
@@ -459,8 +473,8 @@ class Reconstructor:
                 _step_cache_put(step_key, _step)
                 self._step = _step
         elif backend == "xla":
-            cache_key = ("xla", det, vol, self.chunk_size, self.block_shape,
-                         _env_knobs(),
+            cache_key = ("xla", _cache_key_det(det), vol, self.chunk_size,
+                         self.block_shape, _env_knobs(),
                          None if device is None else repr(device))
             from . import compile_cache
             step_key = cache_key + (compile_cache.cache_dir(),)

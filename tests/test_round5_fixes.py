@@ -149,6 +149,20 @@ class TestWriterErrorPath:
         assert not any(sink.is_done(i) for i in range(4))
 
 
+def test_step_cache_key_delta_phi_invariant():
+    """Two scans of one geometry at different angular steps (360- vs
+    3600-projection) must share one compiled step: delta_phi never
+    enters the traced program (angles are runtime sin/cos)."""
+    from paris_tpu.pipeline import Reconstructor
+    import dataclasses
+    det = DetectorGeometry(32, 32, 4.0, 4.0, 0.0, 0.0, 500.0, 500.0, 1.0)
+    vol = derive_volume_geometry(det)
+    a = Reconstructor(det, vol, chunk_size=4, backend="xla")
+    b = Reconstructor(dataclasses.replace(det, delta_phi=0.1), vol,
+                      chunk_size=4, backend="xla")
+    assert a._step is b._step
+
+
 def test_quantize_concurrency_param_identical():
     from paris_tpu.pipeline import quantize_chunk_u16
     chunk = np.random.rand(4, 32, 64).astype(np.float32) * 100.0
