@@ -63,20 +63,37 @@ class _LogTap(logging.Handler):
 
 
 def _wait_goldens(workdir, timeout_s=7200):
-    """Sum the sharded golden partials (golden_slab.py) per slab."""
+    """Golden slab per z0: the merged ``golden_z{z0}.npy`` if present,
+    else the sum of the sharded partials (``PARIS_GOLDEN_SHARDS``,
+    default 2 — must match golden_slab.py's --shard W).  Loads retry:
+    a partial written by an OLD (pre-atomic-rename) worker could be
+    observed mid-write."""
     t0 = time.time()
+    shards = int(os.environ.get("PARIS_GOLDEN_SHARDS", "2"))
     out = {}
+
+    def load_retry(p):
+        for _ in range(10):
+            try:
+                return np.load(p)
+            except Exception:
+                time.sleep(3)
+        return np.load(p)
+
     for z0, _dz in SLABS:
+        merged = os.path.join(workdir, f"golden_z{z0}.npy")
         parts = [os.path.join(workdir, f"golden_part_z{z0}_w{w}.npy")
-                 for w in range(2)]
-        while not all(os.path.exists(p) for p in parts):
+                 for w in range(shards)]
+        while not (os.path.exists(merged)
+                   or all(os.path.exists(p) for p in parts)):
             if time.time() - t0 > timeout_s:
                 raise RuntimeError(f"golden partials missing: {parts}")
             print(f"[gate] waiting for golden partials z0={z0} ...",
                   flush=True)
             time.sleep(30)
-        time.sleep(2)                  # np.save is not atomic; settle
-        out[z0] = sum(np.load(p) for p in parts)
+        time.sleep(2)
+        out[z0] = load_retry(merged) if os.path.exists(merged) \
+            else sum(load_retry(p) for p in parts)
     return out
 
 

@@ -122,7 +122,11 @@ def main():
     outs = golden_fdk_stream(pairs(), det, vol, slabs,
                              dtype=np.dtype(args.dtype))
     for (z0, dz), out in zip(slabs, outs):
-        np.save(partial_path(z0, w), out)
+        # tmp + rename: a concurrent poller (full_scale_2048_3600.py)
+        # must never observe a half-written .npy
+        tmp = partial_path(z0, w)[:-4] + f".tmp{os.getpid()}.npy"
+        np.save(tmp, out)
+        os.replace(tmp, partial_path(z0, w))
     print(f"[golden w{w}] done in {time.perf_counter() - t0:.0f}s",
           flush=True)
 

@@ -207,6 +207,27 @@ def _overlap_block_dz(vol_geo: VolumeGeometry, free_est: Optional[int],
     return dz2 if dz2 > 128 else None
 
 
+def _finish_writer(writer, pending_future, logger_) -> None:
+    """Writer-thread epilogue shared by BOTH drivers' try/finally:
+    drain an in-flight write (never torn mid-block) and ALWAYS join the
+    writer thread.  On the normal path the pending future is already
+    None (the loop tail waited); on the exception path the write's own
+    failure is LOGGED rather than raised so it cannot mask the original
+    error — raised only when no other exception is active."""
+    import sys as _sys
+    in_flight_exc = _sys.exc_info()[1] is not None
+    try:
+        if pending_future is not None:
+            pending_future.result()
+    except Exception:
+        if not in_flight_exc:
+            raise
+        logger_.exception("in-flight block write also failed "
+                          "during error shutdown")
+    finally:
+        writer.shutdown(wait=True)
+
+
 def _auto_hbm_budget() -> Optional[int]:
     """Default per-device volume-block budget from live device memory.
 
@@ -375,11 +396,17 @@ def _run_job(job: ReconstructionJob) -> str:
             logger.info("detector row band: %d of %d rows per block",
                         v_band, job.det.n_col)
 
-    from .pipeline import max_chunk_size
+    from .pipeline import max_chunk_size, resolve_pallas_x_tile
     chunk_size = job.chunk_size
     import jax as _jax
     if job.backend in ("pallas", "auto") and _jax.default_backend() == "tpu":
-        cmax = max_chunk_size(job.det, v_band, accuracy=job.accuracy)
+        # clamp with the tile the Reconstructor will actually resolve:
+        # a narrowed (wide-fan) tile has up to 4x less Q-scratch, so
+        # the default-64 estimate would over-clamp exactly there
+        from .ops.backprojection_xla import make_bp_grid as _mk
+        xt = resolve_pallas_x_tile(_mk(job.det, full_geo))
+        cmax = max_chunk_size(job.det, v_band, accuracy=job.accuracy,
+                              x_tile=xt)
         if chunk_size > cmax:
             logger.info("clamping chunk size %d -> %d (VMEM budget)",
                         chunk_size, cmax)
@@ -528,23 +555,7 @@ def _run_job(job: ReconstructionJob) -> str:
             pending.result()
             pending = None
     finally:
-        # Drain an in-flight write and ALWAYS join the writer thread.
-        # On the normal path pending is already None (the loop tail
-        # waited); on the exception path the pending write finishes
-        # (never torn mid-block) and its own failure is LOGGED rather
-        # than raised so it cannot mask the original error.
-        import sys as _sys
-        in_flight_exc = _sys.exc_info()[1] is not None
-        try:
-            if pending is not None:
-                pending.result()
-        except Exception:
-            if not in_flight_exc:
-                raise
-            logger.exception("in-flight block write also failed "
-                             "during error shutdown")
-        finally:
-            writer.shutdown(wait=True)
+        _finish_writer(writer, pending, logger)
     total = time.perf_counter() - t_start
     timers.report(logger)
     logger.info("reconstruction finished in %s -> %s",

@@ -105,9 +105,17 @@ class ProjectionSource:
                     f"table angles with idx*delta_phi")
 
     def _angle(self, idx: int) -> float:
-        if self.angles is not None and idx < len(self.angles):
-            return float(self.angles[idx])
-        return idx * self.delta_phi
+        if self.angles is None:
+            return idx * self.delta_phi
+        if idx >= len(self.angles):
+            # backstop for streams that grew PAST the construction-time
+            # count (e.g. a file whose header read failed then became
+            # readable): never mix table angles with idx*delta_phi
+            from ..exceptions import StageRuntimeError
+            raise StageRuntimeError(
+                f"projection stream reached index {idx} but the angle "
+                f"table has only {len(self.angles)} entries")
+        return float(self.angles[idx])
 
     def _kept_before(self, idx: int) -> int:
         """Number of kept (post-decimation) frames among indices [0, idx)."""

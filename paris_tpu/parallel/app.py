@@ -85,6 +85,10 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
     hbm_budget = job.hbm_budget_bytes
     if hbm_budget is None:
         hbm_budget = _auto_hbm_budget()
+        # per-process live probes can disagree across hosts; the block
+        # plan must be IDENTICAL everywhere (shard offsets, barrier
+        # schedule), so agree on the most conservative probe first
+        (hbm_budget,) = multihost.agree_min(hbm_budget)
         if hbm_budget is not None:
             # the block is sharded: each device holds only 1/n of it,
             # so the per-device budget scales to the whole mesh
@@ -122,9 +126,17 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
     per_dev_budget = None if hbm_budget is None else hbm_budget // n_dev
     free_est = _overlap_free_est(per_dev_budget,
                                  budget_is_auto=job.hbm_budget_bytes is None)
+    # live-stats probe: agree across processes (identical plan + overlap
+    # flag everywhere — a divergent overlap bool reorders the barrier
+    # relative to the next block's steps)
+    (free_est,) = multihost.agree_min(free_est)
+    # per-DEVICE projection residency for the overlap fit: staged wire
+    # buffers are chunk-sharded (1/n each) but each step materializes
+    # the gathered full chunk + its filtered temp on every device
+    per_dev_proj = proj_buffer // n_dev + 2 * proj_bytes * chunk
     if overlap_enabled and free_est is not None and info.num > 1 \
             and job.block_dz is None:
-        dz2 = _overlap_block_dz(vol_geo, free_est, proj_buffer,
+        dz2 = _overlap_block_dz(vol_geo, free_est, per_dev_proj,
                                 info.dim_z_padded, n_shards=n_dev,
                                 align=align)
         if dz2 is not None:
@@ -163,8 +175,11 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
             v_band = None
 
     if job.backend in ("pallas", "auto") and jax.default_backend() == "tpu":
-        from ..pipeline import max_chunk_size
-        cmax = max_chunk_size(job.det, v_band, accuracy=job.accuracy)
+        from ..pipeline import max_chunk_size, resolve_pallas_x_tile
+        from ..ops.backprojection_xla import make_bp_grid as _mk
+        xt = resolve_pallas_x_tile(_mk(job.det, full_geo))
+        cmax = max_chunk_size(job.det, v_band, accuracy=job.accuracy,
+                              x_tile=xt)
         cmax = max(n_dev, (cmax // n_dev) * n_dev)
         if chunk > cmax:
             logger.info("clamping chunk size %d -> %d (VMEM budget)",
@@ -205,12 +220,23 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
     # deterministic: steps(k), steps(k+1), barrier(k), steps(k+2), ...
     import concurrent.futures as _cf
     overlap = overlap_enabled and _fits_two_blocks(
-        vol_geo, info.dim_z_padded, proj_buffer, free_est, n_dev)
+        vol_geo, info.dim_z_padded, per_dev_proj, free_est, n_dev)
     if overlap and info.num > 1:
         logger.info("write overlap: block k+1 reconstructs while "
                     "block k drains to disk")
     writer = _cf.ThreadPoolExecutor(1, thread_name_prefix="paris-write")
     pending = None          # (future, block) of the draining block
+
+    def _drain_pending():
+        """Wait for the draining block's write, then its main-thread
+        completion (barrier + manifest mark) — the single wait path."""
+        nonlocal pending
+        if pending is None:
+            return
+        fut, pblk = pending
+        pending = None
+        fut.result()
+        _complete(pblk)
 
     def _drain(vol_state, blk):
         with timers.time("finalize+write"):
@@ -296,46 +322,24 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
                 # reconstruct / finalize+write split honest
                 jax.block_until_ready(volume)
             pps, gups = meter.rates()
-            if pending is not None:
-                # bound in-flight accumulators at 2 (this block's + the
-                # draining one); surfaces writer errors; then the
-                # main-thread barrier/mark for the drained block
-                fut, pblk = pending
-                pending = None
-                fut.result()
-                _complete(pblk)
+            # bound in-flight accumulators at 2 (this block's + the
+            # draining one); surfaces writer errors; then the
+            # main-thread barrier/mark for the drained block
+            _drain_pending()
             pending = (writer.submit(_drain, volume, block), block)
             # drop the loop's reference NOW: without overlap the wait
             # below frees the accumulator before the next init_block
             volume = None
             if not overlap:
-                fut, pblk = pending
-                pending = None
-                fut.result()
-                _complete(pblk)
+                _drain_pending()
             logger.info("block %d done (%d projections, %.1f proj/s, "
                         "%.1f Gupd/s)", block.index, n_proj, pps, gups)
-        if pending is not None:
-            fut, pblk = pending
-            pending = None
-            fut.result()
-            _complete(pblk)
+        _drain_pending()
       finally:
-        # deliberate error path, as in app.run_job: finish any in-flight
-        # write (never torn mid-block), log its own failure without
-        # masking the original, always join the writer thread
-        import sys as _sys
-        in_flight_exc = _sys.exc_info()[1] is not None
-        try:
-            if pending is not None:
-                pending[0].result()
-        except Exception:
-            if not in_flight_exc:
-                raise
-            logger.exception("in-flight block write also failed "
-                             "during error shutdown")
-        finally:
-            writer.shutdown(wait=True)
+        # deliberate error path shared with app.run_job (_finish_writer)
+        from ..app import _finish_writer
+        _finish_writer(writer, None if pending is None else pending[0],
+                       logger)
 
     timers.report(logger)
     logger.info("distributed reconstruction finished in %s -> %s",

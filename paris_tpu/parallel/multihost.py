@@ -137,6 +137,31 @@ def barrier(name: str) -> None:
     multihost_utils.sync_global_devices(name)
 
 
+def agree_min(*values: Optional[int]) -> tuple:
+    """Cross-process agreement on host-probed quantities (min-reduce).
+
+    Planning inputs probed per process (live free-HBM stats, auto
+    budgets) can differ between hosts; feeding them unagreed into the
+    block planner or the write-overlap gate would let processes pick
+    DIFFERENT block maps or different collective orderings — silent
+    shard misplacement or a barrier deadlock.  Every process receives
+    the same elementwise minimum (the most conservative probe wins);
+    ``None`` (no information) is encoded as -1 and wins only when NO
+    process has a value.  No-op single-process.
+    """
+    if not is_multihost():
+        return values
+    from jax.experimental import multihost_utils
+    enc = np.asarray([-1 if v is None else int(v) for v in values],
+                     np.int64)
+    allv = np.asarray(multihost_utils.process_allgather(enc))
+    out = []
+    for i in range(len(values)):
+        known = allv[:, i][allv[:, i] >= 0]
+        out.append(int(known.min()) if known.size else None)
+    return tuple(out)
+
+
 def write_local_shards(path: str, volume: jax.Array, z_base: int,
                        max_z: Optional[int] = None) -> int:
     """Write this host's z-shards of a (dz, ny, nx)-sharded block into the

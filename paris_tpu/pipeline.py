@@ -217,10 +217,14 @@ def resolve_pallas_x_tile(grid, requested: Optional[int] = None):
     tile costs some MXU efficiency but stays orders of magnitude ahead.
     """
     from .ops.backprojection_pallas import pallas_supported
-    if requested is not None:
-        return requested if pallas_supported(grid, requested) else None
+    if requested is not None and pallas_supported(grid, requested):
+        return requested
+    # a requested tile acts as an UPPER bound: fall through to narrower
+    # rungs rather than re-opening the silent-fallback hole (a stale
+    # PARIS_BP_XTILE=64 must not defeat the ladder)
+    cap = requested if requested is not None else 64
     for xt in (64, 32, 16):
-        if pallas_supported(grid, xt):
+        if xt <= cap and pallas_supported(grid, xt):
             return xt
     return None
 
