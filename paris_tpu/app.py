@@ -69,6 +69,15 @@ class ReconstructionJob:
     resume: bool = False
     max_cache_bytes: int = 64 << 30
     trace_dir: Optional[str] = None   # jax.profiler trace output
+    # Stop after computing this many NEW blocks (None = all); completed
+    # blocks are durable in the sink manifest, so a wrapper re-invokes
+    # with resume=True until the volume is complete.  Operational
+    # containment knob: bounds per-process resource growth on very long
+    # jobs — e.g. host RSS on transports whose h2d transfers retain
+    # their host buffers for the process lifetime (measured on tunneled
+    # TPU: every device_put leaks its full payload; a 181 GB-wire job
+    # OOMs a 125 GB host without this).
+    max_blocks: Optional[int] = None
 
 
 def _perf_block_dz(job: ReconstructionJob, vol_geo: VolumeGeometry,
@@ -550,6 +559,11 @@ def _run_job(job: ReconstructionJob) -> str:
             pps, gups = meter.rates()
             logger.info("block %d done (%d projections, %.1f proj/s, %.1f Gupd/s)",
                         block.index, n_proj, pps, gups)
+            if job.max_blocks is not None and n_done >= job.max_blocks:
+                logger.info("stopping after %d block(s) (max_blocks); "
+                            "resume=True completes the remaining blocks",
+                            n_done)
+                break
 
         if pending is not None:
             pending.result()

@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-device HBM budget driving the z-block split")
     p.add_argument("--block-dz", type=int, default=None,
                    help="force z-block extent (narrows per-block detector band)")
+    p.add_argument("--max-blocks", type=int, default=None,
+                   help="compute at most N new blocks then exit "
+                        "(re-run with --resume to continue; bounds "
+                        "per-process resource growth on long jobs)")
     p.add_argument("--accuracy", default="fast", choices=["exact", "fast"],
                    help="pallas kernel mode (default fast: bf16 "
                         "interpolation tables — the CUDA texture unit's "
@@ -178,6 +182,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                           if args.hbm_budget_gb else None),
         resume=args.resume,
         trace_dir=args.trace_dir,
+        max_blocks=args.max_blocks,
     )
     try:
         if args.distributed:

@@ -149,6 +149,49 @@ class TestWriterErrorPath:
         assert not any(sink.is_done(i) for i in range(4))
 
 
+class TestMaxBlocks:
+    def test_max_blocks_stops_and_resume_completes(self, tmp_path):
+        """max_blocks=1 computes exactly one new block per invocation;
+        re-running with resume=True completes the volume — the
+        per-process containment knob for long jobs (e.g. transports
+        that pin h2d payloads for the process lifetime)."""
+        from paris_tpu.app import ReconstructionJob, run_job
+        from paris_tpu.io.his import write_his
+        from paris_tpu.io import ddbvf
+        from paris_tpu.phantom import cone_beam_project
+        import json
+
+        det = DetectorGeometry(16, 16, 8.0, 8.0, 0.0, 0.0,
+                               1000.0, 500.0, 24.0)
+        vol = derive_volume_geometry(det)
+        projdir = tmp_path / "projs"
+        projdir.mkdir()
+        scale = vol.dim_x * vol.l_vx_x / 2.0 * 0.9
+        projs = cone_beam_project(det, np.arange(15) * 24.0,
+                                  scale_mm=scale)
+        write_his(str(projdir / "a.his"), projs)
+
+        def job(**kw):
+            return ReconstructionJob(
+                det=det, input_path=str(projdir),
+                output_path=str(tmp_path), prefix="v", backend="xla",
+                block_dz=8, chunk_size=8, **kw)
+
+        out = run_job(job(max_blocks=1))
+        manifest = json.load(open(out + ".manifest.json"))
+        assert manifest["completed_blocks"] == [0]
+        out = run_job(job(resume=True))
+        manifest = json.load(open(out + ".manifest.json"))
+        assert len(manifest["completed_blocks"]) >= 2
+        # complete volume equals a single uninterrupted run
+        ref = run_job(ReconstructionJob(
+            det=det, input_path=str(projdir),
+            output_path=str(tmp_path / "ref"), prefix="v",
+            backend="xla", block_dz=8, chunk_size=8))
+        np.testing.assert_array_equal(ddbvf.read_volume(out),
+                                      ddbvf.read_volume(ref))
+
+
 def test_step_cache_key_delta_phi_invariant():
     """Two scans of one geometry at different angular steps (360- vs
     3600-projection) must share one compiled step: delta_phi never
