@@ -436,8 +436,15 @@ class DistributedReconstructor:
                 "finalize() materializes the global block and cannot run "
                 "multi-host; use write_shards()")
         if self.backend == "pallas":
-            out = self._bpp.from_kernel_layout(
-                volume, (self.block_dz, self.vol.dim_y, self.vol.dim_x))
+            shape = (self.block_dz, self.vol.dim_y, self.vol.dim_x)
+            if volume.nbytes > (1 << 30):
+                # big blocks: slab-wise d2h + host transpose, exactly as
+                # Reconstructor.finalize — the device-side transpose
+                # materializes extra HBM copies AND its d2h measured 5x
+                # slower than slab reads on the tunnel transport
+                # (dist_overlap_ab round 5: 9m57s vs ~2m for 4.3 GB)
+                return self._bpp.from_kernel_layout_host(volume, shape)
+            out = self._bpp.from_kernel_layout(volume, shape)
             return np.asarray(out)
         return np.asarray(volume)
 
