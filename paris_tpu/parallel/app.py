@@ -198,6 +198,7 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
     # re-scan-dir-per-task flaw, SURVEY.md §3.2; app.py does the same)
     cache = job.cache_projections
     cached: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    n_done = 0
     # multi-host: decode ONLY this host's chunk-shard frames — input
     # decode bandwidth then scales with host count (SURVEY §7
     # multi-host streaming; ref decoded everything per worker,
@@ -332,8 +333,14 @@ def run_job_distributed(job: ReconstructionJob, mesh=None) -> str:
             volume = None
             if not overlap:
                 _drain_pending()
+            n_done += 1
             logger.info("block %d done (%d projections, %.1f proj/s, "
                         "%.1f Gupd/s)", block.index, n_proj, pps, gups)
+            if job.max_blocks is not None and n_done >= job.max_blocks:
+                logger.info("stopping after %d block(s) (max_blocks); "
+                            "resume=True completes the remaining blocks",
+                            n_done)
+                break
         _drain_pending()
       finally:
         # deliberate error path shared with app.run_job (_finish_writer)

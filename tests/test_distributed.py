@@ -262,6 +262,41 @@ def test_run_job_distributed_overlap_matches_serial(setup, tmp_path,
     np.testing.assert_array_equal(a, b)
 
 
+def test_run_job_distributed_max_blocks_resume(setup, tmp_path):
+    """max_blocks parity with the single driver: one new block per
+    invocation, resume completes, output equals an uninterrupted run."""
+    from paris_tpu.app import ReconstructionJob
+    from paris_tpu.parallel.app import run_job_distributed
+    from paris_tpu.io.his import write_his
+    from paris_tpu.io import ddbvf
+    import json
+
+    det = DetectorGeometry(
+        n_row=64, n_col=64, l_px_row=2.0, l_px_col=2.0,
+        delta_s=0.0, delta_t=0.0, d_so=500.0, d_od=500.0, delta_phi=22.5,
+    )
+    rng = np.random.default_rng(9)
+    frames = rng.uniform(0, 60000, (16, det.n_col, det.n_row)).astype(np.uint16)
+    pdir = tmp_path / "proj"
+    pdir.mkdir()
+    for i in range(0, 16, 8):
+        write_his(str(pdir / f"b{i:03d}.his"), frames[i:i + 8],
+                  number_dtype=np.uint16)
+
+    def job(outdir, **kw):
+        return ReconstructionJob(
+            det=det, input_path=str(pdir), output_path=str(tmp_path / outdir),
+            prefix="vd", chunk_size=8, backend="xla", block_dz=32, **kw)
+
+    out = run_job_distributed(job("mb", max_blocks=1))
+    manifest = json.load(open(out + ".manifest.json"))
+    assert manifest["completed_blocks"] == [0]
+    out = run_job_distributed(job("mb", resume=True))
+    ref = run_job_distributed(job("ref"))
+    np.testing.assert_array_equal(ddbvf.read_volume(out),
+                                  ddbvf.read_volume(ref))
+
+
 def test_distributed_roi_matches_single_device_roi(setup):
     """ROI job through DistributedReconstructor == single-device ROI path.
 
