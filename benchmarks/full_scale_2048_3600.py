@@ -114,9 +114,10 @@ def _child(args):
 
     det = DetectorGeometry(2048, 2048, 0.25, 0.25, 0.0, 0.0,
                            2048.0, 1024.0, 360.0 / N_PROJ)
+    prefix = "c5" if args.accuracy == "fast" else "c5x"
     job = ReconstructionJob(
         det=det, input_path=os.path.join(args.workdir, "proj3600"),
-        output_path=args.workdir, prefix="c5",
+        output_path=args.workdir, prefix=prefix,
         chunk_size=8, accuracy=args.accuracy, block_dz=BLOCK_DZ,
         cache_projections=False, resume=True, max_blocks=1,
     )
@@ -155,7 +156,9 @@ def main():
 
     info = plan_z_blocks(vol, block_dz=BLOCK_DZ)
     assert info.blocks[1].z0 == SLABS[0][0] + 2, "seam slab must straddle"
-    res = {"config": 5, "name": "full_scale_2048_3600proj_single_chip",
+    name = ("full_scale_2048_3600proj_single_chip" if args.accuracy == "fast"
+            else "full_scale_2048_3600proj_single_chip_exact")
+    res = {"config": 5, "name": name,
            "volume": vol.shape_zyx, "n_proj": N_PROJ,
            "accuracy": args.accuracy, "block_dz": BLOCK_DZ,
            "planned_blocks": info.num,
@@ -165,7 +168,8 @@ def main():
     # one child process per block (see _child: transport h2d leak
     # containment); each child resumes from the durable manifest
     import subprocess
-    manifest = os.path.join(args.workdir, "c5.ddbvf.manifest.json")
+    prefix = "c5" if args.accuracy == "fast" else "c5x"
+    manifest = os.path.join(args.workdir, f"{prefix}.ddbvf.manifest.json")
     rates, timings = [], []
     t0 = time.perf_counter()
     for attempt in range(info.num + 3):
@@ -191,7 +195,7 @@ def main():
     done = json.load(open(manifest)).get("completed_blocks", [])
     assert len(done) >= info.num, f"job incomplete: {sorted(done)}"
     wall = time.perf_counter() - t0
-    out_path = os.path.join(args.workdir, "c5.ddbvf")
+    out_path = os.path.join(args.workdir, f"{prefix}.ddbvf")
     res["end_to_end_seconds"] = round(wall, 1)
     res["gupd_per_s_end_to_end"] = round(
         vol.voxels * N_PROJ / wall / 1e9, 2)
