@@ -29,6 +29,20 @@ class TestXTileLadder:
         xt = resolve_pallas_x_tile(grid)
         assert xt is not None and xt < 64
 
+    def test_requested_tile_falls_through_ladder(self):
+        """A requested/env x-tile is an UPPER bound: a stale
+        PARIS_BP_XTILE=64 on a wide-fan geometry must still land on a
+        narrower supported rung, not re-open the XLA fallback."""
+        from paris_tpu.pipeline import resolve_pallas_x_tile
+        from paris_tpu.ops.backprojection_xla import make_bp_grid
+        det = _wide_fan_det(60.0)
+        vol = derive_volume_geometry(det)
+        grid = make_bp_grid(det, vol)
+        assert resolve_pallas_x_tile(grid, 64) == resolve_pallas_x_tile(grid)
+        assert resolve_pallas_x_tile(grid, 64) in (16, 32)
+        # a supported explicit request is honored exactly
+        assert resolve_pallas_x_tile(grid, 16) == 16
+
     def test_wide_fan_pallas_matches_golden(self):
         """A geometry whose span fails the default 64-tile envelope must
         still run on the Pallas backend (narrowed tile) and meet the
